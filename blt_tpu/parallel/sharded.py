@@ -1,0 +1,157 @@
+"""Sharded (multi-chip) tokenization steps.
+
+Corpus chunks are laid out as rows of a (B, N) batch sharded row-wise over
+the mesh's ``data`` axis; the merges table is replicated. Cross-row BPE
+stitching — the reference's in-order shard assembler analog
+(blt_core/src/pipeline.rs:153-168) — becomes a tiny carry-composition scan:
+
+1. every row computes its match bits / scans locally (no communication);
+2. each row also computes its boundary carry-out for BOTH possible
+   carry-in values, giving a boolean transfer function per row;
+3. an associative scan composes the B transfer functions (XLA moves only
+   2 bits per row over ICI), resolving every row's true carry-in;
+4. rows finish start-resolution + compaction locally.
+
+This is exact: chained output equals the single-sequence reference result
+for every flat (file-loadable) table, independent of B, N, or mesh size.
+
+``pair_count_hist`` is the per-pair count reduction of BASELINE.json: a
+row-local scatter-add histogram followed by a global psum over the data
+axis (XLA inserts the collective from the sharding annotation).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from blt_tpu.merges import NO_RULE
+
+# Plain int (not a device array): module import must never touch a backend.
+_NEG_INF32 = -(2**31) + 1
+
+
+def _row_phase1(row: jnp.ndarray, length: jnp.ndarray, next_byte: jnp.ndarray,
+                dense: jnp.ndarray):
+    """Per-row: match bits, pair values, last-nonmatch scan, carry pair."""
+    n = row.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    t = row.astype(jnp.int32)
+    nxt = jnp.roll(t, -1)
+    last_i = jnp.maximum(length - 1, 0)
+    nxt = nxt.at[last_i].set(jnp.where(next_byte >= 0, next_byte, 0))
+    valid_pair = (idx < (length - 1)) | ((idx == length - 1) & (next_byte >= 0))
+    pair_idx = t * 256 + nxt
+    pv = jnp.take(dense, pair_idx)
+    match = valid_pair & (pv != NO_RULE)
+    lnm = jax.lax.cummax(jnp.where(match, _NEG_INF32, idx))
+    # carry-out as a function of carry-in: evaluate the final-position start
+    # bit under both initial-run parities.
+    def carry_out(carry_in):
+        lz = jnp.maximum(lnm, jnp.int32(-1) - carry_in)
+        s_last = match[last_i] & (((last_i - lz[last_i]) & 1) == 1)
+        return jnp.where(length > 0, s_last & (next_byte >= 0), False)
+
+    return t, pv, match, lnm, carry_out(jnp.int32(0)), carry_out(jnp.int32(1))
+
+
+def _row_phase2(t, pv, match, lnm, length, carry_in):
+    """Per-row: resolve starts with the true carry, compact."""
+    n = t.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    lz = jnp.maximum(lnm, jnp.int32(-1) - carry_in.astype(jnp.int32))
+    starts = match & (((idx - lz) & 1) == 1)
+    consumed = jnp.roll(starts, 1).at[0].set(carry_in & (length > 0))
+    out_vals = jnp.where(starts, pv, t)
+    keep = (~consumed) & (idx < length)
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    count = jnp.where(n > 0, pos[-1] + 1, 0).astype(jnp.int32)
+    scatter_idx = jnp.where(keep, pos, n)
+    tokens = jnp.zeros((n,), dtype=jnp.int32).at[scatter_idx].set(
+        out_vals, mode="drop", unique_indices=True
+    )
+    return tokens, count
+
+
+def _compose_carry(f, g):
+    """Compose boolean transfer functions: (g o f) as (out|in=0, out|in=1)."""
+    f0, f1 = f
+    g0, g1 = g
+    return jnp.where(f0, g1, g0), jnp.where(f1, g1, g0)
+
+
+@jax.jit
+def sharded_flat_encode(
+    batch: jnp.ndarray,  # uint8[B, N], rows = consecutive corpus chunks
+    lengths: jnp.ndarray,  # int32[B]
+    dense: jnp.ndarray,  # int32[65536], replicated
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact flat BPE over a row-sharded batch; returns (tokens[B,N], counts[B]).
+
+    Output rows concatenated in order (each trimmed to its count) are
+    bit-equal to single-sequence encoding of the concatenated input rows.
+    """
+    b, n = batch.shape
+    # one-byte halo: first byte of the next row (EOF for the last row)
+    first_bytes = batch[:, 0].astype(jnp.int32)
+    next_bytes = jnp.concatenate([first_bytes[1:], jnp.array([-1], jnp.int32)])
+    next_bytes = jnp.where(
+        jnp.concatenate([lengths[1:], jnp.array([0], jnp.int32)]) > 0,
+        next_bytes,
+        -1,
+    )
+
+    t, pv, match, lnm, co0, co1 = jax.vmap(
+        _row_phase1, in_axes=(0, 0, 0, None)
+    )(batch, lengths, next_bytes, dense)
+
+    # prefix-compose the per-row transfer functions; carry_in[r] applies the
+    # composition of rows 0..r-1 to the initial False.
+    pref0, _ = jax.lax.associative_scan(_compose_carry, (co0, co1))
+    carry_in = jnp.concatenate([jnp.array([False]), pref0[:-1]])
+
+    tokens, counts = jax.vmap(_row_phase2)(t, pv, match, lnm, lengths, carry_in)
+    return tokens, counts
+
+
+@jax.jit
+def sharded_basic_encode(batch: jnp.ndarray) -> jnp.ndarray:
+    """uint8[B, N] -> uint8[B, 2N] u16-BE streams (embarrassingly parallel)."""
+    zeros = jnp.zeros_like(batch)
+    return jnp.stack([zeros, batch], axis=-1).reshape(batch.shape[0], -1)
+
+
+@jax.jit
+def pair_count_hist(batch: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Global byte-pair frequency histogram (uint32[65536]).
+
+    Row-local scatter-adds followed by a cross-row (cross-shard) sum — the
+    psum/all-reduce of BASELINE.json's "per-pair count reductions".
+    Includes row-boundary pairs via the same one-byte halo as encoding.
+    """
+    b, n = batch.shape
+    idx = jax.lax.broadcasted_iota(jnp.int32, (b, n), 1)
+    t = batch.astype(jnp.int32)
+    nxt = jnp.roll(t, -1, axis=1)
+    first_bytes = t[:, 0]
+    next_bytes = jnp.concatenate([first_bytes[1:], jnp.array([-1], jnp.int32)])
+    next_bytes = jnp.where(
+        jnp.concatenate([lengths[1:], jnp.array([0], jnp.int32)]) > 0,
+        next_bytes,
+        -1,
+    )
+    last_i = jnp.maximum(lengths - 1, 0)
+    nxt = nxt.at[jnp.arange(b), last_i].set(jnp.maximum(next_bytes, 0))
+    valid = (idx < (lengths[:, None] - 1)) | (
+        (idx == lengths[:, None] - 1) & (next_bytes[:, None] >= 0)
+    )
+    pair_idx = t * 256 + nxt
+
+    def row_hist(pi, v):
+        return jnp.zeros(65536, jnp.uint32).at[pi].add(v.astype(jnp.uint32))
+
+    hists = jax.vmap(row_hist)(pair_idx, valid)
+    return jnp.sum(hists, axis=0)

@@ -1,0 +1,121 @@
+"""BPE merge-table training (learning merges from a corpus).
+
+A capability extension over the reference (which only consumes pre-built
+merges files, blt_core/src/config_loader.rs): learn the rules with the
+classic greedy procedure — repeatedly count adjacent-pair frequencies and
+merge the most frequent pair — with counting and merging running on device.
+Emitted rules use the same id policy as the reference loader (ids from 256,
+one per rule, config_loader.rs:14-46). Note the encoder applies pass-based
+greedy semantics (all rules eligible per pass, tokenizer.rs:61-86), not
+classic rank-ordered BPE, so encoding the training corpus is not guaranteed
+to reproduce the training-time merge sequence rule-for-rule — the same
+deviation from classic BPE the reference itself has (SURVEY.md 2.1.2).
+
+The pair domain grows as merges are learned, so counting uses a dense
+(V, V) histogram with V = 256 + num_merges; merging one rule is the same
+parity-scan + compaction used everywhere else. ``save_merges`` writes a
+merges.txt the reference loader grammar accepts when all keys are byte
+pairs (hierarchical rules are commented, since the file grammar is u8-only,
+config_loader.rs:144-155).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blt_tpu.merges import BpeMerges
+
+# Plain int (not a device array): module import must never touch a backend.
+_NEG_INF32 = -(2**31) + 1
+
+
+@functools.partial(jax.jit, static_argnames=("vocab",))
+def _count_pairs(tokens: jnp.ndarray, length: jnp.ndarray, vocab: int) -> jnp.ndarray:
+    """Dense (vocab*vocab,) histogram of adjacent pairs within [0, length)."""
+    n = tokens.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    nxt = jnp.roll(tokens, -1)
+    valid = idx < (length - 1)
+    pair_idx = jnp.where(valid, tokens * vocab + nxt, 0)
+    hist = jnp.zeros(vocab * vocab, jnp.int32).at[pair_idx].add(
+        valid.astype(jnp.int32), mode="drop"
+    )
+    return hist
+
+
+@jax.jit
+def _apply_one_rule(
+    tokens: jnp.ndarray,
+    length: jnp.ndarray,
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    new_id: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One leftmost-first non-overlapping merge pass for a single rule."""
+    n = tokens.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    nxt = jnp.roll(tokens, -1)
+    match = (tokens == a) & (nxt == b) & (idx < (length - 1))
+    lnm = jax.lax.cummax(jnp.where(match, _NEG_INF32, idx))
+    lz = jnp.maximum(lnm, jnp.int32(-1))
+    starts = match & (((idx - lz) & 1) == 1)
+    consumed = jnp.roll(starts, 1).at[0].set(False)
+    out_vals = jnp.where(starts, new_id, tokens)
+    keep = (~consumed) & (idx < length)
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    count = jnp.where(n > 0, pos[-1] + 1, 0).astype(jnp.int32)
+    scatter_idx = jnp.where(keep, pos, n)
+    out = jnp.zeros((n,), jnp.int32).at[scatter_idx].set(
+        out_vals, mode="drop", unique_indices=True
+    )
+    return out, count
+
+
+def learn_bpe(data: bytes | np.ndarray, num_merges: int) -> BpeMerges:
+    """Learn ``num_merges`` rules from a byte corpus (greedy max-frequency).
+
+    Ties break toward the smallest pair index (deterministic). Stops early
+    when no pair occurs twice.
+    """
+    arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else data
+    vocab = 256 + num_merges
+    tokens = jnp.asarray(arr.astype(np.int32))
+    length = jnp.int32(arr.shape[0])
+    merges: BpeMerges = {}
+    new_id = 256
+    for _ in range(num_merges):
+        hist = _count_pairs(tokens, length, vocab)
+        best = int(jnp.argmax(hist))
+        best_count = int(hist[best])
+        if best_count < 2:
+            break
+        a, b = best // vocab, best % vocab
+        merges[(a, b)] = new_id
+        tokens, length = _apply_one_rule(
+            tokens, length, jnp.int32(a), jnp.int32(b), jnp.int32(new_id)
+        )
+        new_id += 1
+    return merges
+
+
+def save_merges(merges: BpeMerges, path) -> None:
+    """Write merges.txt in the reference loader grammar.
+
+    Only u8-pair keys are representable in the file format
+    (config_loader.rs:144-155); hierarchical rules are emitted as comments.
+    Rules are written in id order, so when every rule is a byte pair the
+    loader re-assigns identical ids; skipped hierarchical rules shift later
+    ids on reload (the file grammar cannot express them).
+    """
+    with open(path, "w") as f:
+        f.write("# merges learned by blt_tpu.parallel.train.learn_bpe\n")
+        for (a, b), v in sorted(merges.items(), key=lambda kv: kv[1]):
+            if a < 256 and b < 256:
+                f.write(f"{a} {b}\n")
+            else:
+                f.write(f"# hierarchical rule ({a},{b})->{v} not file-representable\n")

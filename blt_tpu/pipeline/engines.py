@@ -1,0 +1,234 @@
+"""Tokenization engines: NumPy host engine and JAX/TPU device engine.
+
+The TPU-native replacement for the reference's strategy objects
+(reference: blt_core/src/tokenizer.rs trait TokenizationStrategy). An engine
+consumes an ordered iterator of uint8 chunk arrays (each at most
+``chunk_hint`` bytes) and yields ordered bytes-like results; ordering is
+positional (array index = chunk id), which replaces the reference's
+mpsc-channel reorder buffer (pipeline.rs:153-168).
+
+JaxEngine pipelining: device dispatch is asynchronous, so up to ``depth``
+batches are in flight; the BPE stitching carry stays ON DEVICE between
+batches (a scalar dependency XLA pipelines), and the only host syncs are the
+ordered result drains. The merges table is uploaded once per run — the
+replicate-once analog of the reference's Arc<BpeMerges> (lib.rs:277).
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Iterable, Iterator, Optional
+
+import numpy as np
+
+from blt_tpu.merges import MergeTable
+from blt_tpu.ops import bpe_numpy
+from blt_tpu.utils.chunking import align_up
+from blt_tpu.utils.logging import get_logger
+
+log = get_logger("engine")
+
+
+class NumpyEngine:
+    """Vectorized host engine (CPU path; also the small-input fast path)."""
+
+    name = "numpy"
+
+    def basic_stream(
+        self, chunks: Iterable[np.ndarray], chunk_hint: int
+    ) -> Iterator[bytes]:
+        for chunk in chunks:
+            yield chunk.astype(">u2").tobytes()
+
+    def passthrough_stream(
+        self, chunks: Iterable[np.ndarray], chunk_hint: int
+    ) -> Iterator[bytes]:
+        for chunk in chunks:
+            yield memoryview(np.ascontiguousarray(chunk)).cast("B")
+
+    def bpe_stream(
+        self, chunks: Iterable[np.ndarray], table: MergeTable, chunk_hint: int
+    ) -> Iterator[bytes]:
+        if table.flat:
+            yield from self._bpe_flat_stream(chunks, table)
+        else:
+            # General tables: independent per-chunk multipass, which is the
+            # reference's own chunked behavior (BPE output then depends on
+            # chunk size exactly as the reference's does, SURVEY.md 2.1.6).
+            for chunk in chunks:
+                toks = bpe_numpy.bpe_encode_multipass(chunk, table)
+                yield toks.astype(">u2").tobytes()
+
+    def _bpe_flat_stream(
+        self, chunks: Iterable[np.ndarray], table: MergeTable
+    ) -> Iterator[bytes]:
+        carry = False
+        prev: Optional[np.ndarray] = None
+        for chunk in chunks:
+            if chunk.shape[0] == 0:
+                continue
+            if prev is not None:
+                toks, carry = bpe_numpy.bpe_encode_flat_carry(
+                    prev, table, carry, int(chunk[0])
+                )
+                yield toks.astype(">u2").tobytes()
+            prev = chunk
+        if prev is not None:
+            toks, _ = bpe_numpy.bpe_encode_flat_carry(prev, table, carry, -1)
+            yield toks.astype(">u2").tobytes()
+
+
+class JaxEngine:
+    """TPU/device engine: async pipelined batches, on-device carries."""
+
+    name = "jax"
+
+    def __init__(self, depth: int = 2):
+        import jax  # lazy: keep CLI startup fast on the pure-host paths
+
+        from blt_tpu.utils.compcache import enable_compilation_cache
+
+        enable_compilation_cache()
+        self._jax = jax
+        self.depth = depth
+
+    def _pad_to(self, chunk: np.ndarray, n: int) -> np.ndarray:
+        if chunk.shape[0] == n:
+            return np.ascontiguousarray(chunk)
+        buf = np.zeros(n, dtype=np.uint8)
+        buf[: chunk.shape[0]] = chunk
+        return buf
+
+    def basic_stream(
+        self, chunks: Iterable[np.ndarray], chunk_hint: int
+    ) -> Iterator[bytes]:
+        from blt_tpu.ops import bpe_jax
+
+        jnp = self._jax.numpy
+        n_static = align_up(chunk_hint)
+        pending = collections.deque()
+        for chunk in chunks:
+            length = chunk.shape[0]
+            if length == 0:
+                continue
+            dev = jnp.asarray(self._pad_to(chunk, n_static))
+            pending.append((bpe_jax.basic_encode(dev), length))
+            if len(pending) > self.depth:
+                yield self._drain_basic(pending)
+        while pending:
+            yield self._drain_basic(pending)
+
+    def _drain_basic(self, pending) -> bytes:
+        out, length = pending.popleft()
+        host = np.asarray(out)
+        return host[: 2 * length].tobytes()
+
+    def passthrough_stream(
+        self, chunks: Iterable[np.ndarray], chunk_hint: int
+    ) -> Iterator[bytes]:
+        # Identity map: never round-trip through the device.
+        for chunk in chunks:
+            yield memoryview(np.ascontiguousarray(chunk)).cast("B")
+
+    def bpe_stream(
+        self, chunks: Iterable[np.ndarray], table: MergeTable, chunk_hint: int
+    ) -> Iterator[bytes]:
+        if table.flat:
+            yield from self._bpe_flat_stream(chunks, table, chunk_hint)
+        else:
+            yield from self._bpe_multipass_stream(chunks, table, chunk_hint)
+
+    def _bpe_flat_stream(
+        self, chunks: Iterable[np.ndarray], table: MergeTable, chunk_hint: int
+    ) -> Iterator[bytes]:
+        from blt_tpu.ops import bpe_jax
+
+        jnp = self._jax.numpy
+        dense = bpe_jax.dense_table_device(table)
+        n_static = align_up(chunk_hint)
+        pending = collections.deque()
+        carry = jnp.asarray(False)
+        prev: Optional[np.ndarray] = None
+
+        def dispatch(chunk: np.ndarray, next_byte: int):
+            nonlocal carry
+            dev = jnp.asarray(self._pad_to(chunk, n_static))
+            _, count, carry_out, be = bpe_jax.flat_encode(
+                dev,
+                jnp.int32(chunk.shape[0]),
+                dense,
+                carry,
+                jnp.int32(next_byte),
+            )
+            carry = carry_out
+            pending.append((count, be))
+
+        for chunk in chunks:
+            if chunk.shape[0] == 0:
+                continue
+            if prev is not None:
+                dispatch(prev, int(chunk[0]))
+                if len(pending) > self.depth:
+                    yield self._drain_bpe(pending)
+            prev = chunk
+        if prev is not None:
+            dispatch(prev, -1)
+        while pending:
+            yield self._drain_bpe(pending)
+
+    def _drain_bpe(self, pending) -> bytes:
+        count, be = pending.popleft()
+        n_tokens = int(count)
+        host = np.asarray(be)
+        return host[: 2 * n_tokens].tobytes()
+
+    def _bpe_multipass_stream(
+        self, chunks: Iterable[np.ndarray], table: MergeTable, chunk_hint: int
+    ) -> Iterator[bytes]:
+        from blt_tpu.ops import bpe_jax
+
+        jnp = self._jax.numpy
+        keys, vals = bpe_jax.sparse_table_device(table)
+        n_static = align_up(chunk_hint)
+        pending = collections.deque()
+        for chunk in chunks:
+            if chunk.shape[0] == 0:
+                continue
+            dev = jnp.asarray(self._pad_to(chunk, n_static))
+            toks, count = bpe_jax.multipass_encode(
+                dev, jnp.int32(chunk.shape[0]), keys, vals
+            )
+            be = bpe_jax.tokens_to_be_bytes_device(toks)
+            pending.append((count, be))
+            if len(pending) > self.depth:
+                yield self._drain_bpe(pending)
+        while pending:
+            yield self._drain_bpe(pending)
+
+
+def select_engine(engine_pref, input_size: Optional[int]):
+    """AUTO: device engine for large inputs on an accelerator, else NumPy.
+
+    Device dispatch + compile latency dominates small inputs; the NumPy
+    engine is already at memory-bandwidth speed there.
+    """
+    from blt_tpu.config import Engine
+
+    if engine_pref == Engine.NUMPY:
+        return NumpyEngine()
+    if engine_pref == Engine.JAX:
+        return JaxEngine()
+    # AUTO: unknown-size streams and small files stay on the host engine
+    # (device dispatch latency dominates); force --engine jax to override.
+    threshold = 32 * 1024 * 1024
+    if input_size is None or input_size < threshold:
+        return NumpyEngine()
+    try:
+        import jax
+
+        backend = jax.default_backend()
+        if backend in ("tpu", "gpu", "cuda", "rocm", "axon"):
+            return JaxEngine()
+    except Exception as e:  # pragma: no cover - broken accelerator runtime
+        log.warning("accelerator probe failed (%s); using NumPy engine", e)
+    return NumpyEngine()

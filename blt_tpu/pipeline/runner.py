@@ -1,0 +1,90 @@
+"""The tokenizer run loop: I/O setup, chunk feed, ordered drain.
+
+Reference: blt_core/src/lib.rs:246-267 ``run_tokenizer`` +
+blt_core/src/pipeline.rs (chunk fan-out and strict in-order reassembly).
+Here ordering is free — chunks are fed and drained positionally — and
+parallelism comes from the device pipeline (async dispatch depth) rather
+than a thread pool. A dedicated writer thread overlaps disk writes with
+compute, standing in for the reference's buffered async writer
+(io_handler.rs:68-76).
+
+Chunk-feed sizing:
+- passthrough / basic / flat-BPE outputs are chunk-size invariant, so the
+  device engine is fed large aligned batches (device_batch_bytes) regardless
+  of the CLI chunk size, which only caps host memory;
+- general (non-flat) BPE preserves the reference's per-chunk semantics, so
+  chunks are exactly the effective chunk size (chunking.rs policy).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+
+from blt_tpu.config import CoreConfig, Mode
+from blt_tpu.io.sources import InputSource, OutputWriter, setup_io
+from blt_tpu.pipeline.engines import JaxEngine, select_engine
+from blt_tpu.utils.chunking import get_effective_chunk_size
+from blt_tpu.utils.logging import get_logger
+
+log = get_logger("runner")
+
+DEVICE_BATCH_BYTES = 64 * 1024 * 1024
+
+
+def _device_batch_bytes() -> int:
+    """Device feed batch size; env-tunable (tests use small batches)."""
+    return int(os.environ.get("BLT_DEVICE_BATCH_BYTES", DEVICE_BATCH_BYTES))
+
+
+def run_tokenizer(config: CoreConfig) -> None:
+    """Execute one tokenization run (lib.rs:246-267 orchestration)."""
+    log.info("Starting tokenizer")
+    mode = config.mode
+    effective_chunk_size = get_effective_chunk_size(
+        config.cli_chunk_size, config.num_threads, config.mem_cap_percent
+    )
+    log.info("Chunk size determined: %d", effective_chunk_size)
+
+    src, writer = setup_io(config.input, config.output)
+    try:
+        if config.content_type is not None:
+            writer.write(config.content_type.token_value.to_bytes(2, "big"))
+
+        engine = select_engine(config.engine, src.size)
+        log.info("Using %s strategy on %s engine", mode.value, engine.name)
+
+        feed_size = effective_chunk_size
+        invariant_output = mode in (Mode.BASIC, Mode.PASSTHROUGH) or (
+            mode == Mode.BPE and config.table().flat
+        )
+        if isinstance(engine, JaxEngine) and invariant_output:
+            feed_size = max(effective_chunk_size, _device_batch_bytes())
+
+        chunks = src.chunks(feed_size)
+        if mode == Mode.PASSTHROUGH:
+            results = engine.passthrough_stream(chunks, feed_size)
+        elif mode == Mode.BASIC:
+            results = engine.basic_stream(chunks, feed_size)
+        else:
+            results = engine.bpe_stream(chunks, config.table(), feed_size)
+
+        _drain_to_writer(results, writer)
+    finally:
+        writer.close()
+    log.info("Tokenizer run completed successfully")
+
+
+def _drain_to_writer(results: Iterator, writer: OutputWriter) -> None:
+    """Write ordered results, overlapping disk writes with compute."""
+    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
+        prev: Optional[concurrent.futures.Future] = None
+        for data in results:
+            if prev is not None:
+                prev.result()
+            prev = pool.submit(writer.write, data)
+        if prev is not None:
+            prev.result()

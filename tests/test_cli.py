@@ -1,0 +1,119 @@
+"""CLI integration tests: spawn the CLI, assert exact output bytes.
+
+Mirrors the reference integration tier (tests/cli.rs:20-215, 7 tests) plus
+the '-' stdin/stdout convention and the error surface (src/main.rs:100-103).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, stdin=b""):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable, "-m", "blt_tpu.cli"] + args,
+        input=stdin,
+        capture_output=True,
+        env=env,
+        timeout=120,
+    )
+
+
+def u16be(values):
+    return b"".join(int(v).to_bytes(2, "big") for v in values)
+
+
+def test_cli_stdin_stdout():
+    r = run_cli([], b"hello world")
+    assert r.returncode == 0, r.stderr
+    assert r.stdout == u16be(b"hello world")
+
+
+def test_cli_input_output_files(tmp_path):
+    ip = tmp_path / "in.txt"
+    op = tmp_path / "out.bin"
+    ip.write_bytes(b"hello from file")
+    r = run_cli(["--input", str(ip), "--output", str(op)])
+    assert r.returncode == 0, r.stderr
+    assert op.read_bytes() == u16be(b"hello from file")
+
+
+def test_cli_type_argument():
+    r = run_cli(["--type", "text"], b"test")
+    assert r.returncode == 0, r.stderr
+    assert r.stdout == u16be([0xFF01]) + u16be(b"test")
+
+
+@pytest.mark.parametrize(
+    "name,token", [("text", 0xFF01), ("audio", 0xFF02), ("bin", 0xFF03), ("video", 0xFF04)]
+)
+def test_cli_all_content_types(name, token):
+    r = run_cli(["--type", name], b"x")
+    assert r.stdout == u16be([token, ord("x")])
+
+
+def test_cli_bpe_merges(tmp_path):
+    mp = tmp_path / "merges.txt"
+    mp.write_text("97 98\n")
+    r = run_cli(["--merges", str(mp)], b"ab c ab")
+    assert r.returncode == 0, r.stderr
+    # 256 (ab), 32, 99, 32, 256 — pinned by tests/cli.rs:107-140
+    assert r.stdout == u16be([256, 32, 99, 32, 256])
+
+
+def test_cli_chunksize_argument():
+    r = run_cli(["--chunksize", "1KB"], b"some data")
+    assert r.returncode == 0, r.stderr
+    assert r.stdout == u16be(b"some data")
+
+
+def test_cli_threads_argument():
+    r = run_cli(["--threads", "1"], b"thread test")
+    assert r.returncode == 0, r.stderr
+    assert r.stdout == u16be(b"thread test")
+
+
+def test_cli_passthrough_mode():
+    r = run_cli(["--passthrough"], b"passthrough test")
+    assert r.returncode == 0, r.stderr
+    assert r.stdout == b"passthrough test"
+
+
+def test_cli_passthrough_with_type():
+    # header then raw copy (lib.rs:254-263)
+    r = run_cli(["--passthrough", "--type", "bin"], b"raw")
+    assert r.stdout == u16be([0xFF03]) + b"raw"
+
+
+def test_cli_dash_convention(tmp_path):
+    # '-' means stdin/stdout (README.md:102-103; unimplemented in reference)
+    r = run_cli(["--input", "-", "--output", "-"], b"dash")
+    assert r.returncode == 0, r.stderr
+    assert r.stdout == u16be(b"dash")
+
+
+def test_cli_empty_input():
+    r = run_cli([], b"")
+    assert r.returncode == 0
+    assert r.stdout == b""
+
+
+def test_cli_error_surface(tmp_path):
+    mp = tmp_path / "bad.txt"
+    mp.write_text("97\n")
+    r = run_cli(["--merges", str(mp)], b"x")
+    assert r.returncode == 1
+    assert b"Error running tokenizer:" in r.stderr
+
+
+def test_cli_missing_merges_file():
+    r = run_cli(["--merges", "/nonexistent/m.txt"], b"x")
+    assert r.returncode == 1
+    assert b"Error running tokenizer:" in r.stderr

@@ -1,0 +1,165 @@
+"""Conformance-kernel tests: exact token streams for every strategy.
+
+Mirrors the reference's 11 in-module tokenizer tests
+(blt_core/src/tokenizer.rs:152-292), run against BOTH the trusted Python
+oracle and the vectorized NumPy engine, plus randomized cross-checks between
+them (the oracle is the judge for every faster implementation).
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from blt_tpu.merges import MergeTable
+from blt_tpu.ops.bpe_numpy import (
+    bpe_encode,
+    bpe_encode_flat,
+    bpe_encode_flat_carry,
+    bpe_encode_multipass,
+    tokens_to_be_bytes,
+)
+from blt_tpu.ops.bpe_oracle import bpe_encode_oracle
+from blt_tpu.ops.bpe_oracle import tokens_to_be_bytes as oracle_be
+
+
+def both(data: bytes, merges):
+    """Run oracle + numpy engine, assert they agree, return the tokens."""
+    o = bpe_encode_oracle(data, merges)
+    table = MergeTable.build(merges)
+    v = bpe_encode(np.frombuffer(data, np.uint8), table).tolist()
+    assert v == o
+    m = bpe_encode_multipass(np.frombuffer(data, np.uint8), table).tolist()
+    assert m == o
+    return o
+
+
+# --- the 11 pinned reference cases (tokenizer.rs:170-291) ---
+
+def test_bpe_no_merges():
+    assert both(b"abcdef", {}) == [97, 98, 99, 100, 101, 102]
+
+
+def test_bpe_simple_merge():
+    assert both(b"abcab", {(97, 98): 256}) == [256, 99, 256]
+
+
+def test_bpe_multiple_merges():
+    assert both(b"abcdab", {(97, 98): 256, (99, 100): 257}) == [256, 257, 256]
+
+
+def test_bpe_iterative_merging():
+    # hierarchical: new tokens merge only on the next pass
+    assert both(b"abcde", {(97, 98): 256, (256, 99): 257}) == [257, 100, 101]
+
+
+def test_bpe_no_possible_merges():
+    assert both(b"xyz123", {(97, 98): 256}) == [120, 121, 122, 49, 50, 51]
+
+
+def test_bpe_empty_input():
+    assert both(b"", {(97, 98): 256}) == []
+
+
+def test_bpe_single_byte_cannot_merge():
+    assert both(b"a", {(97, 98): 256}) == [97]
+
+
+def test_basic_tokenization():
+    from blt_tpu.ops.basic import basic_encode_bytes_np
+
+    assert basic_encode_bytes_np(np.frombuffer(b"abc", np.uint8)) == bytes(
+        [0, 97, 0, 98, 0, 99]
+    )
+
+
+def test_basic_tokenization_empty():
+    from blt_tpu.ops.basic import basic_encode_bytes_np
+
+    assert basic_encode_bytes_np(np.empty(0, np.uint8)) == b""
+
+
+def test_passthrough():
+    from blt_tpu.ops.passthrough import passthrough_encode_np
+
+    data = np.frombuffer(b"ab c", np.uint8)
+    assert passthrough_encode_np(data).tobytes() == b"ab c"
+
+
+def test_bpe_merge_produces_byte_value():
+    assert both(b"axyza", {(120, 121): 90}) == [97, 90, 122, 97]
+
+
+# --- serialization ---
+
+def test_be_serialization():
+    toks = [256, 32, 99, 0xFF01]
+    assert oracle_be(toks) == bytes([1, 0, 0, 32, 0, 99, 0xFF, 0x01])
+    assert tokens_to_be_bytes(np.array(toks, np.int32)) == oracle_be(toks)
+
+
+# --- randomized cross-checks ---
+
+def test_random_flat_tables_cross_check():
+    rng = random.Random(42)
+    for _ in range(120):
+        merges = {}
+        vocab = 256
+        for _ in range(rng.randint(0, 30)):
+            merges[(rng.randint(97, 103), rng.randint(97, 103))] = vocab
+            vocab += 1
+        data = bytes(rng.randint(97, 103) for _ in range(rng.randint(0, 250)))
+        table = MergeTable.build(merges)
+        assert table.flat
+        o = bpe_encode_oracle(data, merges)
+        assert bpe_encode_flat(np.frombuffer(data, np.uint8), table).tolist() == o
+
+
+def test_random_general_tables_cross_check():
+    rng = random.Random(43)
+    for _ in range(120):
+        merges = {}
+        vocab = 256
+        for _ in range(rng.randint(0, 25)):
+            a = rng.choice(
+                [rng.randint(97, 102), rng.randint(256, vocab) if vocab > 256 else 97]
+            )
+            b = rng.choice(
+                [rng.randint(97, 102), rng.randint(256, vocab) if vocab > 256 else 98]
+            )
+            merges[(a, b)] = rng.choice([vocab, rng.randint(0, 255)])
+            vocab += 1
+        data = bytes(rng.randint(97, 102) for _ in range(rng.randint(0, 180)))
+        table = MergeTable.build(merges)
+        o = bpe_encode_oracle(data, merges)
+        got = bpe_encode_multipass(np.frombuffer(data, np.uint8), table).tolist()
+        assert got == o, (merges, data)
+
+
+def test_carry_chaining_equals_whole_input():
+    """Chunked carry-chained encode == single-shot encode (chunk invariance)."""
+    rng = random.Random(44)
+    for _ in range(60):
+        merges = {}
+        vocab = 256
+        for _ in range(rng.randint(1, 12)):
+            merges[(rng.randint(97, 100), rng.randint(97, 100))] = vocab
+            vocab += 1
+        table = MergeTable.build(merges)
+        n = rng.randint(2, 400)
+        data = bytes(rng.randint(97, 100) for _ in range(n))
+        expected = bpe_encode_oracle(data, merges)
+
+        pieces = []
+        pos = 0
+        while pos < n:
+            k = rng.randint(1, min(64, n - pos))
+            pieces.append(np.frombuffer(data[pos : pos + k], np.uint8))
+            pos += k
+        out = []
+        carry = False
+        for i, piece in enumerate(pieces):
+            nxt = int(pieces[i + 1][0]) if i + 1 < len(pieces) else -1
+            toks, carry = bpe_encode_flat_carry(piece, table, carry, nxt)
+            out.extend(toks.tolist())
+        assert out == expected

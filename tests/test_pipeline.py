@@ -1,0 +1,110 @@
+"""Pipeline tests: chunk-size invariance, engines, streaming.
+
+Reference requirement (SURVEY.md 2.1.6 / BASELINE.json): BPE output must be
+chunk-size invariant (equal to the reference run at chunk >= file size) for
+file-loaded tables; basic/passthrough invariant by construction. Also pins
+determinism (same input => identical bytes across chunk sizes), standing in
+for the reference's race-safety guarantees (SURVEY.md 5).
+"""
+
+import numpy as np
+import pytest
+
+import blt_tpu as blt
+from blt_tpu.config import CoreConfig, ContentType, Engine
+from blt_tpu.merges import MergeTable
+from blt_tpu.ops.bpe_oracle import bpe_encode_oracle, tokens_to_be_bytes
+from blt_tpu.pipeline.runner import run_tokenizer
+
+
+def run_with(tmp_path, data: bytes, engine: Engine, chunksize=None, merges_text=None,
+             passthrough=False, content_type=None):
+    ip = tmp_path / "in.bin"
+    op = tmp_path / "out.bin"
+    ip.write_bytes(data)
+    mp = None
+    if merges_text is not None:
+        mp = tmp_path / "merges.txt"
+        mp.write_text(merges_text)
+    config = CoreConfig.new_from_cli(
+        input=ip,
+        output=op,
+        merges=mp,
+        content_type=content_type,
+        chunksize=chunksize,
+        passthrough=passthrough,
+        engine=engine,
+    )
+    run_tokenizer(config)
+    return op.read_bytes()
+
+
+MERGES_TEXT = "97 98\n98 99\n99 97\n"
+MERGES = {(97, 98): 256, (98, 99): 257, (99, 97): 258}
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(7)
+    # heavy in 'abc' so merges fire often, with long match runs
+    return rng.choice(
+        np.frombuffer(b"abcabcaabbcc", np.uint8), size=700_000
+    ).tobytes()
+
+
+def expected_bpe(data: bytes) -> bytes:
+    return tokens_to_be_bytes(bpe_encode_oracle(data, MERGES))
+
+
+@pytest.mark.parametrize("engine", [Engine.NUMPY, Engine.JAX])
+def test_bpe_chunk_size_invariance(tmp_path, corpus, engine):
+    expected = expected_bpe(corpus)
+    outs = {
+        cs: run_with(tmp_path, corpus, engine, chunksize=cs, merges_text=MERGES_TEXT)
+        for cs in [None, "256KB", "400000", "1MB"]
+    }
+    for cs, out in outs.items():
+        assert out == expected, f"chunksize={cs} engine={engine}"
+
+
+@pytest.mark.parametrize("engine", [Engine.NUMPY, Engine.JAX])
+def test_basic_mode_pipeline(tmp_path, corpus, engine):
+    out = run_with(tmp_path, corpus, engine, chunksize="256KB")
+    assert out == np.frombuffer(corpus, np.uint8).astype(">u2").tobytes()
+
+
+def test_passthrough_pipeline(tmp_path, corpus):
+    out = run_with(tmp_path, corpus, Engine.NUMPY, chunksize="256KB", passthrough=True)
+    assert out == corpus
+
+
+def test_content_type_with_bpe(tmp_path):
+    data = b"ababab"
+    out = run_with(
+        tmp_path,
+        data,
+        Engine.NUMPY,
+        merges_text="97 98\n",
+        content_type=ContentType.AUDIO,
+    )
+    assert out == bytes([0xFF, 0x02]) + tokens_to_be_bytes([256, 256, 256])
+
+
+def test_nonflat_table_per_chunk_semantics(tmp_path):
+    """Hierarchical tables fall back to per-chunk reference semantics."""
+    data = b"abcde" * 100
+    ip = tmp_path / "in.bin"
+    op = tmp_path / "out.bin"
+    ip.write_bytes(data)
+    merges = {(97, 98): 256, (256, 99): 257}
+    config = CoreConfig.new_from_cli(input=ip, output=op, engine=Engine.NUMPY)
+    config.with_merges(merges)
+    run_tokenizer(config)
+    # single chunk (file < chunk size) -> whole-input oracle semantics
+    assert op.read_bytes() == tokens_to_be_bytes(bpe_encode_oracle(data, merges))
+
+
+def test_deterministic_across_runs(tmp_path, corpus):
+    a = run_with(tmp_path, corpus, Engine.NUMPY, merges_text=MERGES_TEXT)
+    b = run_with(tmp_path, corpus, Engine.NUMPY, merges_text=MERGES_TEXT)
+    assert a == b

@@ -1,0 +1,124 @@
+"""Multi-chip sharding tests on an 8-virtual-device CPU mesh.
+
+The reference has no distributed layer (SURVEY.md 2); these tests pin the
+BASELINE.json north-star behaviors: row-sharded corpus, replicated merges,
+exact cross-shard carry resolution, psum-style pair-count reduction.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from blt_tpu.merges import MergeTable
+from blt_tpu.ops import bpe_numpy
+from blt_tpu.parallel.mesh import make_mesh, replicated, row_sharding, vec_sharding
+from blt_tpu.parallel.sharded import (
+    pair_count_hist,
+    sharded_basic_encode,
+    sharded_flat_encode,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multiple (virtual) devices"
+)
+
+MERGES = {(97, 98): 256, (98, 99): 257, (99, 97): 258, (97, 97): 259}
+
+
+def make_batch(corpus: np.ndarray, b: int, n: int):
+    batch = np.zeros((b, n), np.uint8)
+    lengths = np.zeros(b, np.int32)
+    for r in range(b):
+        row = corpus[r * n : (r + 1) * n]
+        batch[r, : row.shape[0]] = row
+        lengths[r] = row.shape[0]
+    return batch, lengths
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh()
+
+
+def test_sharded_flat_encode_exact(mesh):
+    rng = np.random.default_rng(3)
+    table = MergeTable.build(MERGES)
+    b, n = len(jax.devices()), 1024
+    corpus = rng.choice(
+        np.frombuffer(b"abcabcaabbccaaaa", np.uint8), size=b * n - 100
+    ).astype(np.uint8)
+    batch, lengths = make_batch(corpus, b, n)
+
+    batch_d = jax.device_put(batch, row_sharding(mesh))
+    lengths_d = jax.device_put(lengths, vec_sharding(mesh))
+    dense_d = jax.device_put(table.dense, replicated(mesh))
+
+    tokens, counts = sharded_flat_encode(batch_d, lengths_d, dense_d)
+    tokens_h, counts_h = np.asarray(tokens), np.asarray(counts)
+    got = np.concatenate([tokens_h[r, : counts_h[r]] for r in range(b)])
+    expected = bpe_numpy.bpe_encode_flat(corpus, table)
+    assert got.tolist() == expected.tolist()
+
+
+def test_sharded_flat_encode_adversarial_runs(mesh):
+    """All-'aa' corpus: the parity chain crosses every shard boundary."""
+    table = MergeTable.build({(97, 97): 256})
+    b, n = len(jax.devices()), 256
+    # odd total length forces a trailing unmerged byte
+    corpus = np.full(b * n - 1, 97, np.uint8)
+    batch, lengths = make_batch(corpus, b, n)
+    tokens, counts = sharded_flat_encode(
+        jax.device_put(batch, row_sharding(mesh)),
+        jax.device_put(lengths, vec_sharding(mesh)),
+        jax.device_put(table.dense, replicated(mesh)),
+    )
+    tokens_h, counts_h = np.asarray(tokens), np.asarray(counts)
+    got = np.concatenate([tokens_h[r, : counts_h[r]] for r in range(b)])
+    expected = bpe_numpy.bpe_encode_flat(corpus, table)
+    assert got.tolist() == expected.tolist()
+    # (b*n-1) 'a's -> (b*n-2)/2 merged pairs + 1 leftover
+    assert got.shape[0] == (b * n - 2) // 2 + 1
+
+
+def test_sharded_basic_encode(mesh):
+    rng = np.random.default_rng(4)
+    batch = rng.integers(0, 256, (len(jax.devices()), 512), dtype=np.uint8)
+    out = np.asarray(sharded_basic_encode(jax.device_put(batch, row_sharding(mesh))))
+    for r in range(batch.shape[0]):
+        assert out[r].tobytes() == batch[r].astype(">u2").tobytes()
+
+
+def test_pair_count_hist(mesh):
+    corpus = np.frombuffer(b"ababab" * 100, np.uint8).copy()
+    b, n = len(jax.devices()), 128
+    batch, lengths = make_batch(corpus, b, n)
+    hist = np.asarray(
+        pair_count_hist(
+            jax.device_put(batch, row_sharding(mesh)),
+            jax.device_put(lengths, vec_sharding(mesh)),
+        )
+    )
+    # 600 bytes -> 599 adjacent pairs: 300x (a,b), 299x (b,a)
+    assert hist.sum() == corpus.shape[0] - 1
+    assert hist[97 * 256 + 98] == 300
+    assert hist[98 * 256 + 97] == 299
+
+
+def test_learn_bpe_roundtrip(tmp_path):
+    from blt_tpu.merges import load_bpe_merges_from_path
+    from blt_tpu.parallel.train import learn_bpe, save_merges
+
+    corpus = b"the cat sat on the mat " * 50
+    merges = learn_bpe(corpus, 8)
+    assert len(merges) == 8
+    # most frequent first pair in this corpus is one of the repeating bigrams
+    ids = sorted(merges.values())
+    assert ids == list(range(256, 264))
+    # byte-pair-only prefix round-trips through the reference file grammar
+    byte_rules = {k: v for k, v in merges.items() if k[0] < 256 and k[1] < 256}
+    p = tmp_path / "m.txt"
+    save_merges(merges, p)
+    loaded = load_bpe_merges_from_path(p)
+    if len(byte_rules) == len(merges):
+        assert loaded == merges
