@@ -148,3 +148,87 @@ class MergeTable:
 
     def __len__(self) -> int:
         return len(self.merges)
+
+    def cuckoo_slots(self, min_slots: int = 256, max_slots: int = 8192) -> int:
+        """Smallest power-of-two slot count with cuckoo headroom (~0.65/2)."""
+        n = max(len(self.merges), 1)
+        slots = min_slots
+        while slots < max_slots and n > int(slots * 1.3):
+            slots *= 2
+        return slots
+
+    def build_cuckoo(self, slots: int = 2048, max_seed_tries: int = 64):
+        """2-table cuckoo hash of byte-pair rules for the Pallas TPU kernel.
+
+        Returns (E1, E2, A1, A2, has_ffff) or None when placement fails
+        (table too loaded) — the caller falls back to the dense path.
+
+        Entries pack key and value into one int32: ``key << 16 | value``;
+        empty slots are -1 (key 0xFFFF, value 0xFFFF). The one ambiguous
+        rule (255,255)->65535 (its entry would equal the empty sentinel) is
+        reported via ``has_ffff`` and special-cased with an elementwise
+        check in the kernel. Hash: h(p) = ((p * A) >> (32 - log2(slots)))
+        & (slots - 1), computed identically in int32 on device (the top
+        bits of the wrapped multiply are well mixed; TPU vector units have
+        no gather-friendly hash beyond multiply-shift).
+        """
+        assert self.flat, "cuckoo tables are built for flat byte-pair rules"
+        rules = [
+            (a * 256 + b, v)
+            for (a, b), v in self.merges.items()
+        ]
+        has_ffff = any(k == 0xFFFF and v == 0xFFFF for k, v in rules)
+        rules = [(k, v) for k, v in rules if not (k == 0xFFFF and v == 0xFFFF)]
+        if len(rules) > (slots * 2) // 2:  # cuckoo 2-way load limit ~0.5
+            return None
+        rng = np.random.default_rng(0xB17)
+        mask = slots - 1
+        shift = 32 - (slots.bit_length() - 1)
+        for _ in range(max_seed_tries):
+            a1 = int(rng.integers(1, 2**31)) | 1
+            a2 = int(rng.integers(1, 2**31)) | 1
+
+            def _hash(p: int, a: int) -> int:
+                # int32 wrap-around multiply + arithmetic shift, matching the
+                # device computation exactly.
+                prod = (p * a) & 0xFFFFFFFF
+                if prod >= 1 << 31:
+                    prod -= 1 << 32
+                return (prod >> shift) & mask
+
+            h1 = lambda p: _hash(p, a1)
+            h2 = lambda p: _hash(p, a2)
+            t1 = {}
+            t2 = {}
+            ok = True
+            for key, val in rules:
+                k, v, which = key, val, 0
+                for _kick in range(256):
+                    if which == 0:
+                        slot = int(h1(k))
+                        if slot not in t1:
+                            t1[slot] = (k, v)
+                            break
+                        k2, v2 = t1[slot]
+                        t1[slot] = (k, v)
+                        k, v, which = k2, v2, 1
+                    else:
+                        slot = int(h2(k))
+                        if slot not in t2:
+                            t2[slot] = (k, v)
+                            break
+                        k2, v2 = t2[slot]
+                        t2[slot] = (k, v)
+                        k, v, which = k2, v2, 0
+                else:
+                    ok = False
+                    break
+            if ok:
+                e1 = np.full(slots, -1, dtype=np.int32)
+                e2 = np.full(slots, -1, dtype=np.int32)
+                for slot, (k, v) in t1.items():
+                    e1[slot] = np.int32((np.int64(k) << 16) | v)
+                for slot, (k, v) in t2.items():
+                    e2[slot] = np.int32((np.int64(k) << 16) | v)
+                return e1, e2, a1, a2, has_ffff
+        return None

@@ -1,1 +1,96 @@
-"""native subpackage."""
+"""Native host engine bindings (ctypes over libbltnative.so).
+
+The TPU does the tokenization math; this library keeps the host side
+(basic-mode widening, passthrough copies, and the CPU fallback BPE scan)
+at multithreaded memory bandwidth — the stand-in for the reference's
+Rust+Tokio pipeline (reference: blt_core/src/pipeline.rs, io_handler.rs).
+Optional: callers fall back to NumPy when the .so has not been built
+(python -m blt_tpu.native.build).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libbltnative.so")
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Load (or return cached) native library; None if unavailable."""
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        _load_failed = True
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.blt_widen_be.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
+        ]
+        lib.blt_copy.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
+        ]
+        lib.blt_flat_bpe.restype = ctypes.c_size_t
+        lib.blt_flat_bpe.argtypes = [
+            ctypes.c_void_p,  # src
+            ctypes.c_size_t,  # n
+            ctypes.c_void_p,  # dense table
+            ctypes.c_void_p,  # out
+            ctypes.c_int,  # carry_in
+            ctypes.c_int32,  # next_byte
+            ctypes.POINTER(ctypes.c_int),  # carry_out
+            ctypes.c_int,  # threads
+        ]
+        _lib = lib
+    except OSError:
+        _load_failed = True
+    return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def widen_be(src: np.ndarray, threads: int) -> bytes:
+    """Basic mode byte->u16-BE at multithreaded memcpy speed."""
+    lib = load()
+    assert lib is not None
+    src = np.ascontiguousarray(src)
+    out = np.empty(2 * src.shape[0], np.uint8)
+    lib.blt_widen_be(
+        src.ctypes.data, out.ctypes.data, src.shape[0], threads
+    )
+    return out.tobytes()
+
+
+def flat_bpe(
+    src: np.ndarray,
+    dense: np.ndarray,
+    carry_in: bool,
+    next_byte: int,
+    threads: int,
+) -> Tuple[bytes, bool]:
+    """Single-pass flat BPE -> u16-BE bytes, with cross-chunk carries."""
+    lib = load()
+    assert lib is not None
+    src = np.ascontiguousarray(src)
+    out = np.empty(2 * max(src.shape[0], 1), np.uint8)
+    carry_out = ctypes.c_int(0)
+    count = lib.blt_flat_bpe(
+        src.ctypes.data,
+        src.shape[0],
+        np.ascontiguousarray(dense).ctypes.data,
+        out.ctypes.data,
+        1 if carry_in else 0,
+        next_byte,
+        ctypes.byref(carry_out),
+        threads,
+    )
+    return out[: 2 * count].tobytes(), bool(carry_out.value)

@@ -200,65 +200,33 @@ size_t blt_flat_bpe(const uint8_t* src, size_t n, const int32_t* dense,
     // carry flows out of this range.
     r.count0 = cnt;
     r.co0 = (last_was_merge && i == t_hi + 1) ? 1 : 0;
-    // Under carry_in=1: position t_lo is consumed; the scan then proceeds
-    // from t_lo+1. Only the initial match run changes: its alternation
-    // shifts by one. Compute count/carry deltas without a full rescan:
-    // variant-1 head = byte t_lo dropped, then scan from t_lo+1.
-    // For simplicity and exactness, rescan only the prefix run region.
-    {
-      size_t j = t_lo + 1;  // first byte consumed
+    // Under carry_in=1 position t_lo is consumed and the scan starts at
+    // t_lo+1, shifting the alternation of the initial match run. A second
+    // counting-only scan keeps this exact; it doubles the scan cost for
+    // this range but stays fully parallel across threads. (If the range
+    // begins with a non-match, both variants agree after the first token,
+    // so the rescan is skipped.)
+    if (run == 0 && t_hi > t_lo) {
+      // byte t_lo is emitted alone in variant 0; variant 1 just drops it
+      r.count1 = r.count0 - 1;
+      r.co1 = r.co0;
+    } else {
+      size_t j = t_lo + 1;
       size_t cnt1 = 0;
       bool lwm = false;
-      size_t stop = t_lo + run + 1;  // after the run, streams realign
-      if (stop > t_hi) stop = t_hi;
-      while (j < stop) {
+      while (j < t_hi) {
         int32_t v = pair_val(j);
+        ++cnt1;
         if (v >= 0) {
-          ++cnt1;
           j += 2;
           lwm = true;
         } else {
-          ++cnt1;
           j += 1;
           lwm = false;
         }
       }
-      if (j >= t_hi) {
-        // variant-1 scan ran to (or past) the range end inside the run
-        r.count1 = cnt1;
-        r.co1 = (lwm && j == t_hi + 1) ? 1 : 0;
-      } else {
-        // realigned at j (== stop, a non-match boundary or past the run):
-        // remaining tokens equal variant-0's from the same byte position.
-        // Variant-0 token index at byte j: tokens emitted in [t_lo, j).
-        // Recompute by walking variant-0 until byte j. The run region is
-        // short in practice; this stays O(run).
-        size_t i0 = t_lo, k0 = 0;
-        while (i0 < j) {
-          int32_t v = pair_val(i0);
-          if (v >= 0 && i0 + 2 <= j) { ++k0; i0 += 2; }
-          else if (v >= 0 && i0 + 2 > j) { break; }
-          else { ++k0; i0 += 1; }
-        }
-        if (i0 != j) {
-          // Misalignment can only happen inside the run; extend variant-1
-          // scan one more step and retry (bounded by run length).
-          // Fallback: full rescan for correctness.
-          size_t jj = t_lo + 1;
-          size_t c1 = 0;
-          bool lw = false;
-          while (jj < t_hi) {
-            int32_t v = pair_val(jj);
-            if (v >= 0) { ++c1; jj += 2; lw = true; }
-            else { ++c1; jj += 1; lw = false; }
-          }
-          r.count1 = c1;
-          r.co1 = (lw && jj == t_hi + 1) ? 1 : 0;
-        } else {
-          r.count1 = cnt1 + (r.count0 - k0);
-          r.co1 = r.co0;
-        }
-      }
+      r.count1 = cnt1;
+      r.co1 = (lwm && j == t_hi + 1) ? 1 : 0;
     }
   };
   parallel_for(threads, n, worker, &ctx);

@@ -163,20 +163,21 @@ def flat_encode_carry_pair(
 
 @jax.jit
 def tokens_to_be_bytes_device(tokens: jnp.ndarray) -> jnp.ndarray:
-    """int32[N] token ids -> uint8[2N] u16 big-endian stream (on device)."""
-    hi = (tokens >> 8).astype(jnp.uint8)
-    lo = (tokens & 0xFF).astype(jnp.uint8)
-    return jnp.stack([hi, lo], axis=-1).reshape(-1)
+    """int32[N] token ids -> uint16[N] whose LE memory image is the u16-BE
+    wire stream (a byteswap, pure elementwise — interleave/stack lowerings
+    explode XLA TPU layouts)."""
+    swapped = ((tokens & 0xFF) << 8) | ((tokens >> 8) & 0xFF)
+    return swapped.astype(jnp.uint16)
 
 
 @jax.jit
 def basic_encode(data: jnp.ndarray) -> jnp.ndarray:
-    """uint8[N] -> uint8[2N] u16-BE stream: the byte->u16 widen on device.
+    """uint8[N] -> uint16[N] byte->u16 widen whose LE memory image is the
+    u16-BE stream (value b<<8 stores as [0, b]).
 
     Reference semantics: tokenizer.rs:116-122 (token value == byte value).
     """
-    zeros = jnp.zeros_like(data)
-    return jnp.stack([zeros, data], axis=-1).reshape(-1)
+    return data.astype(jnp.uint16) << 8
 
 
 def _sparse_lookup(

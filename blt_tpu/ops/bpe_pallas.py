@@ -1,0 +1,452 @@
+"""Pallas TPU kernel for single-pass flat BPE (the hot inner loop).
+
+TPU-native design notes (why this shape):
+
+- XLA lowers >128-entry table gathers and irregular scatters to scalar code
+  (~10M elem/s measured on v5e) — 100x off memory bandwidth. The only
+  vectorized lookup primitive is ``tpu.dynamic_gather`` with a table that
+  fits one vreg along the gather dimension (128 lanes). So the merge-rule
+  lookup is restructured as a 2-table cuckoo hash with an adaptive slot
+  count (blt_tpu.merges.MergeTable.build_cuckoo/cuckoo_slots): each probe
+  is a per-128-segment chain of dynamic_gathers + selects, entirely on the
+  VPU. Entries pack ``key<<16 | value`` into one int32 so a probe is a
+  single gather; a hit check compares the key half against the queried
+  pair.
+
+- The reference's sequential in-buffer merge scan
+  (reference: blt_core/src/tokenizer.rs:61-86) becomes the parity-scan
+  recurrence (merge_start[i] = match[i] & ~merge_start[i-1]) resolved with
+  a two-phase max-scan over "last non-match position": 7 masked lane-rolls
+  within each 128-lane row, then a log-depth roll-scan over row maxima.
+  No lax.cummax (XLA's flat 1D scan is ~1.3 GB/s; this is pure VPU work).
+
+- Grid steps run sequentially on the TensorCore, so the cross-block carry
+  bit (did the previous block's final byte start a merge?) lives in SMEM
+  scratch — exact global semantics with zero collectives, the single-chip
+  analog of the cross-batch carry in blt_tpu.ops.bpe_jax.flat_encode.
+
+- Compaction is deferred: the kernel emits one byteswapped-uint16 token
+  slot per input byte (merge value at starts, byte value elsewhere, 0 at
+  consumed slots); the LE memory image of the kept slots IS the u16-BE
+  wire stream. For every file-loadable table (values >= 256 > any byte)
+  the drain rule "drop the slot whose predecessor has a nonzero low
+  (swapped) byte" reconstructs the exact compacted stream, so no scatter
+  is needed anywhere.
+
+Scope: flat tables with all values >= 256 and byte-pair keys (every table
+loadable from a merges file). Other tables fall back to the XLA kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from blt_tpu.merges import MergeTable
+
+LANES = 128
+ROWS_PER_BLOCK = 512  # 64K elements per grid step
+BLOCK = ROWS_PER_BLOCK * LANES
+MAX_SLOTS = 8192  # cuckoo sizing cap (adaptive: merges.MergeTable.cuckoo_slots)
+_NEG = -(2**31) + 1
+
+
+def _tree_lookup(e_ref, h):
+    """Gather int32 entries for slot indices h (R,128) from a (segs,128) table.
+
+    One 128-lane dynamic_gather per table segment + a select chain; every op
+    is a full-vreg VPU instruction. Segment count adapts to the rule count
+    (merges.MergeTable.cuckoo_slots), so small tables cost few gathers.
+    """
+    r = h.shape[0]
+    segs = e_ref.shape[0]
+    hi = h >> 7
+    lo = h & (LANES - 1)
+    acc = jnp.full(h.shape, -1, dtype=jnp.int32)
+    for k in range(segs):
+        seg = jnp.broadcast_to(e_ref[k, :].reshape(1, LANES), (r, LANES))
+        g = jnp.take_along_axis(seg, lo, axis=1)
+        acc = jnp.where(hi == k, g, acc)
+    return acc
+
+
+def _shift_right_linear(x, first_fill, lane_iota, boundary_fill=None):
+    """y[linear i] = x[linear i-1] over the (R,128) row-major layout.
+
+    first_fill: scalar for linear position 0. boundary_fill lets the caller
+    override what flows into lane 0 of row 0.
+    """
+    r = x.shape[0]
+    rolled = pltpu.roll(x, 1, axis=1)
+    last_col = x[:, LANES - 1 :]  # (R,1)
+    prev_last = pltpu.roll(last_col, 1, axis=0)
+    row_col_iota = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+    # row 0 lane 0 gets first_fill (no .at[].set: scatter is unsupported
+    # in Mosaic; iota-select lowers to a plain vselect)
+    if boundary_fill is None:
+        fill_col = jnp.where(row_col_iota == 0, first_fill, prev_last)
+    else:
+        fill_col = boundary_fill
+    return jnp.where(lane_iota == 0, jnp.broadcast_to(fill_col, x.shape), rolled)
+
+
+def _shift_left_linear(x, last_fill, lane_iota):
+    """y[linear i] = x[linear i+1]; last linear position gets last_fill.
+
+    last_fill is a (1,1) int32 array (broadcast in the select) — extracting
+    sub-int32 scalars from vectors is unsupported in Mosaic.
+    """
+    r = x.shape[0]
+    rolled = pltpu.roll(x, LANES - 1, axis=1)  # left-shift by 1 (wraps)
+    first_col = x[:, 0:1]  # (R,1)
+    next_first = pltpu.roll(first_col, r - 1, axis=0)  # up-shift by 1 (wraps)
+    row_col_iota = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+    next_first = jnp.where(row_col_iota == r - 1, last_fill, next_first)
+    return jnp.where(
+        lane_iota == LANES - 1, jnp.broadcast_to(next_first, x.shape), rolled
+    )
+
+
+def _scan_max_linear(z, lane_iota):
+    """Inclusive max-scan over the row-major linearization of z (R,128)."""
+    r = z.shape[0]
+    # Phase 1: intra-row scan along lanes (Hillis-Steele, 7 steps).
+    s = z
+    shift = 1
+    while shift < LANES:
+        rolled = pltpu.roll(s, shift, axis=1)
+        s = jnp.maximum(s, jnp.where(lane_iota >= shift, rolled, _NEG))
+        shift *= 2
+    # Phase 2: exclusive scan of row maxima down the rows.
+    row_max = s[:, LANES - 1 :]  # (R,1) inclusive row totals
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+    excl = jnp.where(row_iota == 0, _NEG, pltpu.roll(row_max, 1, axis=0))
+    shift = 1
+    while shift < r:
+        rolled = pltpu.roll(excl, shift, axis=0)
+        excl = jnp.maximum(excl, jnp.where(row_iota >= shift, rolled, _NEG))
+        shift *= 2
+    return jnp.maximum(s, jnp.broadcast_to(excl, s.shape))
+
+
+def _kernel(
+    params_ref,  # SMEM int32[8]: length, _, next_byte, a1, a2, ffff, shift
+    carry_in_ref,  # SMEM (1,1) int32: cross-call carry (prior carry_out)
+    data_ref,  # (R,128) uint8 block
+    halo_ref,  # (8,128) uint8: first rows of the next block
+    e1_ref,  # (16,128) int32 cuckoo table 1
+    e2_ref,  # (16,128) int32 cuckoo table 2
+    out_ref,  # (R,128) uint16 byteswapped token slots
+    carry_out_ref,  # SMEM (1,1) int32
+    carry_ref,  # SMEM scratch (1,) int32: inter-block carry
+):
+    i = pl.program_id(0)
+    length = params_ref[0]
+    carry_call = carry_in_ref[0, 0]
+    next_byte = params_ref[2]
+    a1 = params_ref[3]
+    a2 = params_ref[4]
+    ffff = params_ref[5]
+    shift = params_ref[6]
+    slots_mask = e1_ref.shape[0] * LANES - 1
+
+    r = data_ref.shape[0]
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 0)
+    block_start = i * BLOCK
+    gidx = block_start + row_iota * LANES + lane_iota
+
+    d = data_ref[:].astype(jnp.int32)
+    # next byte in stream order; the block halo supplies the row that
+    # follows this block, the cross-call halo (next_byte) patches the very
+    # last valid byte's pair below.
+    halo_fill = halo_ref[:].astype(jnp.int32)[0:1, 0:1]  # (1,1), no i8 extract
+    nxt = _shift_left_linear(d, halo_fill, lane_iota)
+    nxt = jnp.where(gidx == length - 1, jnp.maximum(next_byte, 0), nxt)
+
+    p = d * 256 + nxt
+    # cuckoo probes (int32 wrap-around multiply matches the host builder)
+    h1 = ((p * a1) >> shift) & slots_mask
+    h2 = ((p * a2) >> shift) & slots_mask
+    e1 = _tree_lookup(e1_ref, h1)
+    e2 = _tree_lookup(e2_ref, h2)
+    key1 = (e1 >> 16) & 0xFFFF
+    key2 = (e2 >> 16) & 0xFFFF
+    hit1 = key1 == p
+    hit2 = key2 == p
+    val = jnp.where(hit1, e1 & 0xFFFF, e2 & 0xFFFF)
+    m = hit1 | hit2
+    # the one entry whose packed form collides with the empty sentinel
+    is_ffff = (p == 0xFFFF) & (ffff != 0)
+    m = m | is_ffff
+    val = jnp.where(is_ffff, 0xFFFF, val)
+
+    valid_pair = (gidx < length - 1) | ((gidx == length - 1) & (next_byte >= 0))
+    m = m & valid_pair
+
+    # parity scan for leftmost-first non-overlapping merges
+    carry_in = jnp.where(i == 0, carry_call, carry_ref[0])
+    z = jnp.where(m, _NEG, gidx)
+    lnm = _scan_max_linear(z, lane_iota)
+    sentinel = block_start - 1 - carry_in
+    lz = jnp.maximum(lnm, sentinel)
+    starts = m & (((gidx - lz) & 1) == 1)
+
+    starts_i = starts.astype(jnp.int32)
+    consumed = _shift_right_linear(starts_i, carry_in, lane_iota) != 0
+
+    tok = jnp.where(starts, val, d)
+    tok = jnp.where(consumed, 0, tok)
+    # emit byteswapped u16: the LE memory image is the u16-BE wire stream,
+    # and the drop-after-merge drain tests (slot & 0xFF) != 0
+    out_ref[:] = (((tok & 0xFF) << 8) | ((tok >> 8) & 0xFF)).astype(jnp.uint16)
+
+    # carry to the next block / call: did a merge start on the final valid
+    # byte of this block? Blocks entirely past length-1 (fixed-capacity
+    # padding) must leave the carry untouched.
+    last_pos = jnp.minimum(block_start + BLOCK - 1, length - 1)
+    computed = jnp.sum(jnp.where(gidx == last_pos, starts_i, 0))
+    c_next = jnp.where(last_pos >= block_start, computed, carry_in)
+    carry_ref[0] = c_next
+    carry_out_ref[0, 0] = c_next
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _flat_encode_pallas_call(
+    params: jnp.ndarray,  # int32[8]
+    carry_in: jnp.ndarray,  # int32[1,1] (a prior call's carry output)
+    data3: jnp.ndarray,  # uint8[num_blocks*R + 8, 128] (halo rows)
+    e1: jnp.ndarray,  # int32[16,128]
+    e2: jnp.ndarray,  # int32[16,128]
+    interpret: bool = False,
+):
+    total_rows = data3.shape[0] - 8
+    num_blocks = total_rows // ROWS_PER_BLOCK
+    grid = (num_blocks,)
+    out, carry = pl.pallas_call(
+        _kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1), lambda i, params: (0, 0), memory_space=pltpu.SMEM
+                ),
+                pl.BlockSpec(
+                    (ROWS_PER_BLOCK, LANES),
+                    lambda i, params: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (8, LANES),
+                    lambda i, params: ((i + 1) * ROWS_PER_BLOCK // 8, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (ROWS_PER_BLOCK, LANES),
+                    lambda i, params: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((1, 1), lambda i, params: (0, 0), memory_space=pltpu.SMEM),
+            ),
+            scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((total_rows, LANES), jnp.uint16),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(params, carry_in, data3, data3, e1, e2)
+    return out, carry
+
+
+class PallasFlatEncoder:
+    """Stateful wrapper: holds device tables, pads inputs, runs the kernel.
+
+    ``capacity_bytes`` fixes the padded batch shape so the kernel compiles
+    exactly once per encoder (remote TPU compiles are expensive); shorter
+    batches pad up and the kernel masks by ``length``.
+    """
+
+    def __init__(
+        self,
+        table: MergeTable,
+        interpret: bool = False,
+        capacity_bytes: int = 0,
+    ):
+        if not table.flat:
+            raise ValueError("Pallas encoder requires a flat table")
+        values = list(table.merges.values())
+        if values and min(values) < 256:
+            raise ValueError(
+                "Pallas encoder requires all merge values >= 256 "
+                "(drop-after-merge drain rule)"
+            )
+        slots = table.cuckoo_slots(max_slots=MAX_SLOTS)
+        built = table.build_cuckoo(slots)
+        if built is None and slots < MAX_SLOTS:
+            built = table.build_cuckoo(MAX_SLOTS)
+            slots = MAX_SLOTS
+        if built is None:
+            raise ValueError("rule table too large for the cuckoo hash")
+        e1, e2, a1, a2, has_ffff = built
+        self.shift = 32 - (slots.bit_length() - 1)
+        self.e1 = jnp.asarray(e1.reshape(slots // LANES, LANES))
+        self.e2 = jnp.asarray(e2.reshape(slots // LANES, LANES))
+        self.a1 = a1
+        self.a2 = a2
+        self.has_ffff = has_ffff
+        self.interpret = interpret
+        self.capacity = (
+            -(-capacity_bytes // BLOCK) * BLOCK if capacity_bytes else 0
+        )
+
+    @staticmethod
+    def supports(table: MergeTable) -> bool:
+        if not table.flat:
+            return False
+        values = list(table.merges.values())
+        if values and min(values) < 256:
+            return False
+        return len(table.merges) <= MAX_SLOTS  # cuckoo load limit
+
+    def encode(
+        self,
+        data: np.ndarray,  # uint8[n]
+        carry_in,  # bool | int | device scalar from a previous carry_out
+        next_byte: int,
+    ) -> Tuple[jnp.ndarray, int, jnp.ndarray]:
+        """Run the kernel over one batch.
+
+        Returns (token_slots uint16[rows,128], n_valid_slots, carry_out)
+        where carry_out is a (1,1) device array passed verbatim as the next
+        batch's ``carry_in`` — the dependency stays on-device and batches
+        pipeline without a host sync or any glue ops (glue slices/reshapes
+        would each cost an uncached remote XLA compile on tunneled TPUs).
+        Flatten token slots host-side after transfer; apply the
+        drop-after-merge rule (filter_slots) over n_valid_slots slots.
+        """
+        n = data.shape[0]
+        capacity = self.capacity if self.capacity else -(-n // BLOCK) * BLOCK
+        assert n <= capacity, f"batch {n} exceeds encoder capacity {capacity}"
+        num_blocks = capacity // BLOCK
+        padded_rows = num_blocks * ROWS_PER_BLOCK + 8
+        buf = np.zeros((padded_rows * LANES,), np.uint8)
+        buf[:n] = data
+        data3 = jnp.asarray(buf.reshape(padded_rows, LANES))
+        params = jnp.asarray(
+            np.array(
+                [
+                    n,
+                    0,
+                    next_byte,
+                    self.a1,
+                    self.a2,
+                    1 if self.has_ffff else 0,
+                    self.shift,
+                    0,
+                ],
+                dtype=np.int32,
+            )
+        )
+        if isinstance(carry_in, (bool, int, np.bool_, np.integer)):
+            carry_in = jnp.asarray(
+                np.array([[1 if carry_in else 0]], dtype=np.int32)
+            )
+        out, carry = _flat_encode_pallas_call(
+            params, carry_in, data3, self.e1, self.e2, interpret=self.interpret
+        )
+        return out, n, carry
+
+
+def filter_slots(slots: np.ndarray, prev_token: int) -> Tuple[np.ndarray, int]:
+    """Apply the drop-after-merge drain rule on the host.
+
+    slots: byteswapped uint16[n] (one per input byte); the LE memory image
+    of the result is the exact u16-BE wire stream. A slot is dropped when
+    the previous slot holds a merged token (original value >= 256, i.e.
+    swapped low byte != 0) — the kernel writes merge values at start slots
+    and 0 at consumed slots, so this reconstructs the compacted stream.
+    prev_token (swapped domain) threads the rule across batch boundaries.
+    Returns (be_tokens_u16, last_slot).
+    """
+    if slots.shape[0] == 0:
+        return slots, prev_token
+    prev = np.empty_like(slots)
+    prev[0] = prev_token
+    prev[1:] = slots[:-1]
+    keep = (prev & 0xFF) == 0
+    toks = slots[keep]
+    return toks, int(slots[-1])
+
+
+def _basic_kernel(data_ref, out_ref, done_ref):
+    # byte b -> u16 value b<<8, whose LE memory image is the BE pair [0, b].
+    # Shift in int32 (Mosaic cannot legalize 16-bit shifts), then narrow.
+    out_ref[:] = (data_ref[:].astype(jnp.int32) << 8).astype(jnp.uint16)
+    # tiny completion token: reading it host-side is a plain D2H transfer
+    # that forces device completion without compiling a slice op
+    done_ref[0, 0] = pl.program_id(0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def basic_encode_pallas(data2: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """uint8[R,128] -> uint16[R,128] widen (basic mode) as a Pallas kernel.
+
+    Functionally identical to bpe_jax.basic_encode; exists because XLA-jit
+    compiles are not reliably persisted through remote-compile TPU setups,
+    while Pallas kernels are — keeping repeated CLI/bench runs fast.
+    """
+    rows = data2.shape[0]
+    return pl.pallas_call(
+        _basic_kernel,
+        grid=(rows // ROWS_PER_BLOCK,),
+        in_specs=[
+            pl.BlockSpec(
+                (ROWS_PER_BLOCK, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (ROWS_PER_BLOCK, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, LANES), jnp.uint16),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(data2)
+
+
+class PallasBasicEncoder:
+    """Fixed-capacity basic-mode encoder (pad + run + trim protocol)."""
+
+    def __init__(self, capacity_bytes: int, interpret: bool = False):
+        self.capacity = -(-capacity_bytes // BLOCK) * BLOCK
+        self.interpret = interpret
+
+    def encode(self, data: np.ndarray) -> Tuple[jnp.ndarray, int]:
+        n = data.shape[0]
+        assert n <= self.capacity
+        rows = self.capacity // LANES
+        buf = np.zeros((rows * LANES,), np.uint8)
+        buf[:n] = data
+        out, done = basic_encode_pallas(
+            jnp.asarray(buf.reshape(rows, LANES)), interpret=self.interpret
+        )
+        return out, n

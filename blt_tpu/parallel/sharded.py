@@ -119,9 +119,9 @@ def sharded_flat_encode(
 
 @jax.jit
 def sharded_basic_encode(batch: jnp.ndarray) -> jnp.ndarray:
-    """uint8[B, N] -> uint8[B, 2N] u16-BE streams (embarrassingly parallel)."""
-    zeros = jnp.zeros_like(batch)
-    return jnp.stack([zeros, batch], axis=-1).reshape(batch.shape[0], -1)
+    """uint8[B, N] -> uint16[B, N] widen; LE memory image is the u16-BE
+    wire stream (embarrassingly parallel)."""
+    return batch.astype(jnp.uint16) << 8
 
 
 @jax.jit

@@ -102,6 +102,21 @@ class JaxEngine:
     def basic_stream(
         self, chunks: Iterable[np.ndarray], chunk_hint: int
     ) -> Iterator[bytes]:
+        if self._jax.default_backend() == "tpu":
+            from blt_tpu.ops.bpe_pallas import PallasBasicEncoder
+
+            encoder = PallasBasicEncoder(chunk_hint)
+            pending = collections.deque()
+            for chunk in chunks:
+                if chunk.shape[0] == 0:
+                    continue
+                pending.append(encoder.encode(chunk))
+                if len(pending) > self.depth:
+                    yield self._drain_basic(pending)
+            while pending:
+                yield self._drain_basic(pending)
+            return
+
         from blt_tpu.ops import bpe_jax
 
         jnp = self._jax.numpy
@@ -120,8 +135,9 @@ class JaxEngine:
 
     def _drain_basic(self, pending) -> bytes:
         out, length = pending.popleft()
-        host = np.asarray(out)
-        return host[: 2 * length].tobytes()
+        # uint16 LE image == u16-BE wire stream; flatten host-side
+        host = np.asarray(out).reshape(-1)
+        return host[:length].tobytes()
 
     def passthrough_stream(
         self, chunks: Iterable[np.ndarray], chunk_hint: int
@@ -139,6 +155,57 @@ class JaxEngine:
             yield from self._bpe_multipass_stream(chunks, table, chunk_hint)
 
     def _bpe_flat_stream(
+        self, chunks: Iterable[np.ndarray], table: MergeTable, chunk_hint: int
+    ) -> Iterator[bytes]:
+        if self._jax.default_backend() == "tpu":
+            from blt_tpu.ops.bpe_pallas import PallasFlatEncoder
+
+            if PallasFlatEncoder.supports(table):
+                try:
+                    yield from self._bpe_pallas_stream(chunks, table, chunk_hint)
+                    return
+                except ValueError:
+                    pass  # cuckoo build failed; fall through to XLA path
+        yield from self._bpe_xla_stream(chunks, table, chunk_hint)
+
+    def _bpe_pallas_stream(
+        self, chunks: Iterable[np.ndarray], table: MergeTable, chunk_hint: int
+    ) -> Iterator[bytes]:
+        """Pallas TPU kernel path: device carries, host drop-after-merge drain."""
+        from blt_tpu.ops.bpe_pallas import PallasFlatEncoder, filter_slots
+
+        encoder = PallasFlatEncoder(table, capacity_bytes=chunk_hint)
+        pending = collections.deque()
+        carry = False  # replaced by device scalars after the first batch
+        prev_tok = 0
+        prev_chunk: Optional[np.ndarray] = None
+
+        def drain() -> bytes:
+            nonlocal prev_tok
+            slots_dev, n = pending.popleft()
+            slots = np.asarray(slots_dev).reshape(-1)[:n]
+            toks, prev_tok = filter_slots(slots, prev_tok)
+            # byteswapped u16: LE memory image is already the BE wire stream
+            return toks.tobytes()
+
+        for chunk in chunks:
+            if chunk.shape[0] == 0:
+                continue
+            if prev_chunk is not None:
+                slots, n, carry = encoder.encode(
+                    prev_chunk, carry, int(chunk[0])
+                )
+                pending.append((slots, n))
+                if len(pending) > self.depth:
+                    yield drain()
+            prev_chunk = chunk
+        if prev_chunk is not None:
+            slots, n, carry = encoder.encode(prev_chunk, carry, -1)
+            pending.append((slots, n))
+        while pending:
+            yield drain()
+
+    def _bpe_xla_stream(
         self, chunks: Iterable[np.ndarray], table: MergeTable, chunk_hint: int
     ) -> Iterator[bytes]:
         from blt_tpu.ops import bpe_jax
@@ -179,8 +246,8 @@ class JaxEngine:
     def _drain_bpe(self, pending) -> bytes:
         count, be = pending.popleft()
         n_tokens = int(count)
-        host = np.asarray(be)
-        return host[: 2 * n_tokens].tobytes()
+        host = np.asarray(be)  # uint16 LE image == u16-BE wire stream
+        return host[:n_tokens].tobytes()
 
     def _bpe_multipass_stream(
         self, chunks: Iterable[np.ndarray], table: MergeTable, chunk_hint: int

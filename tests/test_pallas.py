@@ -1,0 +1,114 @@
+"""Pallas flat-BPE kernel tests (interpreter mode on CPU).
+
+The kernel's real-TPU compilation is exercised by bench.py and was
+validated bit-exact on hardware; this suite pins the kernel's semantics
+(including the cuckoo-hash build, fixed-capacity padding, and cross-batch
+carry protocol) against the NumPy engine via the Pallas interpreter.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from blt_tpu.merges import MergeTable
+from blt_tpu.ops.bpe_numpy import bpe_encode_flat
+from blt_tpu.ops.bpe_pallas import (
+    BLOCK,
+    PallasFlatEncoder,
+    filter_slots,
+)
+
+
+def run_encoder(enc, data, pieces=None):
+    """Encode (optionally in chained pieces), drain, return token-id list."""
+    if pieces is None:
+        pieces = [data]
+    wire = bytearray()
+    carry = False
+    prev = 0
+    for j, piece in enumerate(pieces):
+        if piece.shape[0] == 0:
+            continue
+        nb = int(pieces[j + 1][0]) if j + 1 < len(pieces) else -1
+        slots, nv, c = enc.encode(piece, carry, nb)
+        carry = c  # (1,1) device array threads to the next batch verbatim
+        toks, prev = filter_slots(np.asarray(slots).reshape(-1)[:nv], prev)
+        wire.extend(toks.tobytes())  # byteswapped u16 == BE wire stream
+    return np.frombuffer(bytes(wire), ">u2").astype(np.int64).tolist()
+
+
+def test_cuckoo_build_and_support():
+    t = MergeTable.build({(97, 98): 256, (99, 100): 257})
+    assert PallasFlatEncoder.supports(t)
+    built = t.build_cuckoo()
+    assert built is not None
+    e1, e2, a1, a2, ffff = built
+    assert not ffff
+    # every rule is findable in exactly one of the tables
+    found = 0
+    for (a, b), v in t.merges.items():
+        key = a * 256 + b
+        packed = (key << 16) | v
+        found += int(packed in e1.tolist()) + int(packed in e2.tolist())
+    assert found == len(t.merges)
+
+
+def test_unsupported_tables():
+    # hierarchical keys
+    assert not PallasFlatEncoder.supports(
+        MergeTable.build({(97, 98): 256, (256, 99): 257})
+    )
+    # value below 256 breaks the drop-after-merge drain rule
+    assert not PallasFlatEncoder.supports(MergeTable.build({(120, 121): 90}))
+
+
+def test_kernel_exact_small():
+    t = MergeTable.build({(97, 98): 256, (98, 99): 257, (99, 97): 258})
+    enc = PallasFlatEncoder(t, interpret=True)
+    rng = np.random.default_rng(0)
+    data = rng.choice(np.frombuffer(b"abcabcaabbcc", np.uint8), size=5000).astype(
+        np.uint8
+    )
+    assert run_encoder(enc, data) == bpe_encode_flat(data, t).tolist()
+
+
+def test_kernel_exact_multi_block_adversarial():
+    # all-'a' run: parity chain crosses every 64K block boundary
+    t = MergeTable.build({(97, 97): 256})
+    enc = PallasFlatEncoder(t, interpret=True)
+    data = np.full(BLOCK + 12345, 97, np.uint8)
+    got = run_encoder(enc, data)
+    exp = bpe_encode_flat(data, t).tolist()
+    assert got == exp
+    assert got[:3] == [256, 256, 256]
+
+
+def test_fixed_capacity_chained_batches():
+    rng = random.Random(3)
+    nprng = np.random.default_rng(3)
+    t = MergeTable.build({(97, 97): 256, (97, 98): 257, (98, 99): 258})
+    enc = PallasFlatEncoder(t, interpret=True, capacity_bytes=BLOCK)
+    for _ in range(3):
+        n = rng.randint(10, 2 * BLOCK)
+        data = nprng.integers(97, 100, n).astype(np.uint8)
+        data[: min(n, 1000)] = 97
+        pieces = []
+        pos = 0
+        while pos < n:
+            k = rng.randint(1, min(BLOCK, n - pos))
+            pieces.append(data[pos : pos + k])
+            pos += k
+        got = run_encoder(enc, data, pieces)
+        assert got == bpe_encode_flat(data, t).tolist()
+
+
+def test_ffff_rule_special_case():
+    # rule (255,255)->65535 packs to the empty-slot sentinel; the kernel
+    # special-cases it via the has_ffff flag
+    t = MergeTable.build({(255, 255): 0xFFFF, (97, 98): 256})
+    enc = PallasFlatEncoder(t, interpret=True)
+    data = np.frombuffer(b"ab\xff\xff\xffab", np.uint8)
+    got = run_encoder(enc, np.array(data))
+    assert got == bpe_encode_flat(np.array(data), t).tolist()
+    assert 0xFFFF in got
