@@ -48,6 +48,15 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int),  # carry_out
             ctypes.c_int,  # threads
         ]
+        lib.blt_filter_slots.restype = ctypes.c_size_t
+        lib.blt_filter_slots.argtypes = [
+            ctypes.c_void_p,  # slots
+            ctypes.c_size_t,  # n
+            ctypes.c_uint16,  # prev
+            ctypes.c_void_p,  # out
+            ctypes.POINTER(ctypes.c_uint16),  # last_out
+            ctypes.c_int,  # threads
+        ]
         _lib = lib
     except OSError:
         _load_failed = True
@@ -94,3 +103,26 @@ def flat_bpe(
         threads,
     )
     return out[: 2 * count].tobytes(), bool(carry_out.value)
+
+
+def filter_slots_native(
+    slots: np.ndarray, prev_token: int, threads: int
+) -> Tuple[bytes, int]:
+    """Drop-after-merge drain over byteswapped-u16 slots (single C pass).
+
+    Mirror of blt_tpu.ops.bpe_pallas.filter_slots; returns the u16-BE wire
+    bytes directly plus the new prev_token.
+    """
+    lib = load()
+    assert lib is not None
+    slots = np.ascontiguousarray(slots, dtype=np.uint16)
+    n = slots.shape[0]
+    if n == 0:
+        return b"", prev_token
+    out = np.empty(n, np.uint16)
+    last = ctypes.c_uint16(0)
+    count = lib.blt_filter_slots(
+        slots.ctypes.data, n, prev_token & 0xFFFF, out.ctypes.data,
+        ctypes.byref(last), threads,
+    )
+    return out[:count].tobytes(), int(last.value)

@@ -283,3 +283,60 @@ size_t blt_flat_bpe(const uint8_t* src, size_t n, const int32_t* dense,
 int blt_native_version() { return 1; }
 
 }  // extern "C"
+
+extern "C" {
+
+// Drop-after-merge drain for the Pallas kernel's byteswapped-u16 slots
+// (see blt_tpu/ops/bpe_pallas.py): slot i is dropped when slot i-1 has a
+// nonzero low byte (i.e. original token >= 256). prev threads the rule
+// across batches. Output is the kept u16s verbatim (their LE memory image
+// is the u16-BE wire stream). Returns kept count; *last_out = final slot.
+size_t blt_filter_slots(const uint16_t* slots, size_t n, uint16_t prev,
+                        uint16_t* out, uint16_t* last_out, int threads) {
+  // The dependency is only on the PREVIOUS slot, so ranges parallelize
+  // with a one-element halo; counts resolve with a serial prefix pass.
+  struct Ctx {
+    const uint16_t* slots;
+    uint16_t* scratch;
+    size_t* counts;
+    size_t per;
+    size_t n;
+    uint16_t prev;
+  };
+  threads = clamp_threads(threads, n, 1 << 20);
+  if (n == 0) {
+    *last_out = prev;
+    return 0;
+  }
+  std::vector<uint16_t> scratch(n);
+  std::vector<size_t> counts(threads, 0);
+  size_t per = (n + threads - 1) / threads;
+  Ctx ctx{slots, scratch.data(), counts.data(), per, n, prev};
+  parallel_for(
+      threads, n,
+      [](size_t lo, size_t hi, void* p) {
+        auto* c = (Ctx*)p;
+        int t = (int)(lo / c->per);
+        uint16_t* w = c->scratch + lo;
+        size_t cnt = 0;
+        uint16_t pv = lo == 0 ? c->prev : c->slots[lo - 1];
+        for (size_t i = lo; i < hi; ++i) {
+          uint16_t s = c->slots[i];
+          if ((pv & 0xFF) == 0) w[cnt++] = s;
+          pv = s;
+        }
+        c->counts[t] = cnt;
+      },
+      &ctx);
+  uint16_t* w = out;
+  for (int t = 0; t < threads; ++t) {
+    size_t lo = (size_t)t * per;
+    if (lo >= n) break;
+    memcpy(w, scratch.data() + lo, counts[t] * sizeof(uint16_t));
+    w += counts[t];
+  }
+  *last_out = slots[n - 1];
+  return (size_t)(w - out);
+}
+
+}  // extern "C"

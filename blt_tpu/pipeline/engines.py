@@ -172,6 +172,9 @@ class JaxEngine:
         self, chunks: Iterable[np.ndarray], table: MergeTable, chunk_hint: int
     ) -> Iterator[bytes]:
         """Pallas TPU kernel path: device carries, host drop-after-merge drain."""
+        import os
+
+        from blt_tpu import native
         from blt_tpu.ops.bpe_pallas import PallasFlatEncoder, filter_slots
 
         encoder = PallasFlatEncoder(table, capacity_bytes=chunk_hint)
@@ -179,11 +182,18 @@ class JaxEngine:
         carry = False  # replaced by device scalars after the first batch
         prev_tok = 0
         prev_chunk: Optional[np.ndarray] = None
+        use_native = native.available()
+        threads = os.cpu_count() or 1
 
         def drain() -> bytes:
             nonlocal prev_tok
             slots_dev, n = pending.popleft()
             slots = np.asarray(slots_dev).reshape(-1)[:n]
+            if use_native:
+                wire, prev_tok = native.filter_slots_native(
+                    slots, prev_tok, threads
+                )
+                return wire
             toks, prev_tok = filter_slots(slots, prev_tok)
             # byteswapped u16: LE memory image is already the BE wire stream
             return toks.tobytes()
