@@ -17,6 +17,7 @@ replicate-once analog of the reference's Arc<BpeMerges> (lib.rs:277).
 from __future__ import annotations
 
 import collections
+import os
 from typing import Iterable, Iterator, Optional
 
 import numpy as np
@@ -30,15 +31,30 @@ log = get_logger("engine")
 
 
 class NumpyEngine:
-    """Vectorized host engine (CPU path; also the small-input fast path)."""
+    """Vectorized host engine (CPU path; also the small-input fast path).
+
+    Uses the native C++ library (multithreaded widen / flat-BPE scan) when
+    built, falling back to pure NumPy — the host-side stand-in for the
+    reference's Tokio worker pool (pipeline.rs:86-100); ``threads`` carries
+    the CLI --threads / num_cpus policy (utils.rs:79-97).
+    """
 
     name = "numpy"
+
+    def __init__(self, threads: int = 0):
+        from blt_tpu import native
+
+        self.threads = threads if threads > 0 else (os.cpu_count() or 1)
+        self._native = native if native.available() else None
 
     def basic_stream(
         self, chunks: Iterable[np.ndarray], chunk_hint: int
     ) -> Iterator[bytes]:
         for chunk in chunks:
-            yield chunk.astype(">u2").tobytes()
+            if self._native is not None:
+                yield self._native.widen_be(chunk, self.threads)
+            else:
+                yield chunk.astype(">u2").tobytes()
 
     def passthrough_stream(
         self, chunks: Iterable[np.ndarray], chunk_hint: int
@@ -64,18 +80,27 @@ class NumpyEngine:
     ) -> Iterator[bytes]:
         carry = False
         prev: Optional[np.ndarray] = None
+
+        def encode(data: np.ndarray, carry_in: bool, next_byte: int):
+            if self._native is not None:
+                return self._native.flat_bpe(
+                    data, table.dense, carry_in, next_byte, self.threads
+                )
+            toks, c = bpe_numpy.bpe_encode_flat_carry(
+                data, table, carry_in, next_byte
+            )
+            return toks.astype(">u2").tobytes(), c
+
         for chunk in chunks:
             if chunk.shape[0] == 0:
                 continue
             if prev is not None:
-                toks, carry = bpe_numpy.bpe_encode_flat_carry(
-                    prev, table, carry, int(chunk[0])
-                )
-                yield toks.astype(">u2").tobytes()
+                wire, carry = encode(prev, carry, int(chunk[0]))
+                yield wire
             prev = chunk
         if prev is not None:
-            toks, _ = bpe_numpy.bpe_encode_flat_carry(prev, table, carry, -1)
-            yield toks.astype(">u2").tobytes()
+            wire, _ = encode(prev, carry, -1)
+            yield wire
 
 
 class JaxEngine:
@@ -283,7 +308,7 @@ class JaxEngine:
             yield self._drain_bpe(pending)
 
 
-def select_engine(engine_pref, input_size: Optional[int]):
+def select_engine(engine_pref, input_size: Optional[int], threads: int = 0):
     """AUTO: device engine for large inputs on an accelerator, else NumPy.
 
     Device dispatch + compile latency dominates small inputs; the NumPy
@@ -292,14 +317,14 @@ def select_engine(engine_pref, input_size: Optional[int]):
     from blt_tpu.config import Engine
 
     if engine_pref == Engine.NUMPY:
-        return NumpyEngine()
+        return NumpyEngine(threads)
     if engine_pref == Engine.JAX:
         return JaxEngine()
     # AUTO: unknown-size streams and small files stay on the host engine
     # (device dispatch latency dominates); force --engine jax to override.
     threshold = 32 * 1024 * 1024
     if input_size is None or input_size < threshold:
-        return NumpyEngine()
+        return NumpyEngine(threads)
     try:
         import jax
 
@@ -308,4 +333,4 @@ def select_engine(engine_pref, input_size: Optional[int]):
             return JaxEngine()
     except Exception as e:  # pragma: no cover - broken accelerator runtime
         log.warning("accelerator probe failed (%s); using NumPy engine", e)
-    return NumpyEngine()
+    return NumpyEngine(threads)

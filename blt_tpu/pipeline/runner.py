@@ -28,7 +28,7 @@ from blt_tpu.config import CoreConfig, Mode
 from blt_tpu.io.sources import InputSource, OutputWriter, setup_io
 from blt_tpu.pipeline.engines import JaxEngine, select_engine
 from blt_tpu.utils.chunking import get_effective_chunk_size
-from blt_tpu.utils.logging import get_logger
+from blt_tpu.utils.logging import get_logger, span
 
 log = get_logger("runner")
 
@@ -54,7 +54,7 @@ def run_tokenizer(config: CoreConfig) -> None:
         if config.content_type is not None:
             writer.write(config.content_type.token_value.to_bytes(2, "big"))
 
-        engine = select_engine(config.engine, src.size)
+        engine = select_engine(config.engine, src.size, config.num_threads)
         log.info("Using %s strategy on %s engine", mode.value, engine.name)
 
         feed_size = effective_chunk_size
@@ -79,12 +79,17 @@ def run_tokenizer(config: CoreConfig) -> None:
 
 
 def _drain_to_writer(results: Iterator, writer: OutputWriter) -> None:
-    """Write ordered results, overlapping disk writes with compute."""
+    """Write ordered results, overlapping disk writes with compute.
+
+    The per-chunk debug spans are the analog of the reference's
+    ``process_chunk_task`` tracing spans (pipeline.rs:148,348).
+    """
     with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
         prev: Optional[concurrent.futures.Future] = None
-        for data in results:
-            if prev is not None:
-                prev.result()
-            prev = pool.submit(writer.write, data)
+        for chunk_id, data in enumerate(results):
+            with span(log, "drain_chunk", chunk_id=chunk_id, bytes=len(data)):
+                if prev is not None:
+                    prev.result()
+                prev = pool.submit(writer.write, data)
         if prev is not None:
             prev.result()
