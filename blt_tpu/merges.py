@@ -122,6 +122,13 @@ class MergeTable:
     @staticmethod
     def build(merges: Mapping[Tuple[int, int], int]) -> "MergeTable":
         merges = dict(merges)
+        for (a, b), v in merges.items():
+            # the reference's BpeMerges is HashMap<(u16,u16),u16> (lib.rs:75);
+            # Python ints need the range check the Rust types gave for free
+            if not (0 <= a <= 0xFFFF and 0 <= b <= 0xFFFF and 0 <= v <= 0xFFFF):
+                raise ValueError(
+                    f"merge rule ({a},{b})->{v} outside the u16 token range"
+                )
         dense = np.full(256 * 256, NO_RULE, dtype=np.int32)
         key_members = set()
         for (a, b), v in merges.items():
@@ -148,6 +155,20 @@ class MergeTable:
 
     def __len__(self) -> int:
         return len(self.merges)
+
+    def build_packed_dense(self) -> np.ndarray:
+        """Dense value table packed two u16 values per int32 word.
+
+        word[k] = value(pair 2k) | value(pair 2k+1) << 16, with 0 meaning
+        "no rule" (legal sentinel: the Pallas path only handles tables whose
+        values are all >= 256). 32768 words = 128KB, VMEM-resident. Used by
+        the direct-lookup kernel mode for rule counts beyond the cuckoo
+        hash's practical size.
+        """
+        vals = np.where(self.dense == NO_RULE, 0, self.dense).astype(np.int64)
+        lo = vals[0::2]
+        hi = vals[1::2]
+        return ((lo | (hi << 16)) & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
 
     def cuckoo_slots(self, min_slots: int = 256, max_slots: int = 8192) -> int:
         """Smallest power-of-two slot count with cuckoo headroom (~0.65/2)."""

@@ -76,6 +76,28 @@ def _tree_lookup(e_ref, h):
     return acc
 
 
+def _tree_lookup_loop(e_ref, h):
+    """Rolled-loop variant of _tree_lookup for many-segment tables.
+
+    A fully unrolled 256-segment chain keeps every iteration's temporaries
+    live and blows the Mosaic scoped-VMEM stack (63MB vs the 16MB limit);
+    a fori_loop body compiles once and reuses its buffers.
+    """
+    r = h.shape[0]
+    segs = e_ref.shape[0]
+    hi = h >> 7
+    lo = h & (LANES - 1)
+
+    def body(k, acc):
+        seg = jnp.broadcast_to(e_ref[pl.ds(k, 1), :], (r, LANES))
+        g = jnp.take_along_axis(seg, lo, axis=1)
+        return jnp.where(hi == k, g, acc)
+
+    return jax.lax.fori_loop(
+        0, segs, body, jnp.full(h.shape, -1, dtype=jnp.int32)
+    )
+
+
 def _shift_right_linear(x, first_fill, lane_iota, boundary_fill=None):
     """y[linear i] = x[linear i-1] over the (R,128) row-major layout.
 
@@ -135,16 +157,44 @@ def _scan_max_linear(z, lane_iota):
     return jnp.maximum(s, jnp.broadcast_to(excl, s.shape))
 
 
-def _kernel(
-    params_ref,  # SMEM int32[8]: length, _, next_byte, a1, a2, ffff, shift
-    carry_in_ref,  # SMEM (1,1) int32: cross-call carry (prior carry_out)
-    data_ref,  # (R,128) uint8 block
-    halo_ref,  # (8,128) uint8: first rows of the next block
-    e1_ref,  # (16,128) int32 cuckoo table 1
-    e2_ref,  # (16,128) int32 cuckoo table 2
-    out_ref,  # (R,128) uint16 byteswapped token slots
-    carry_out_ref,  # SMEM (1,1) int32
-    carry_ref,  # SMEM scratch (1,) int32: inter-block carry
+def _make_kernel(direct: bool):
+    """Build the kernel body for one lookup mode.
+
+    direct=False: 2-probe cuckoo hash (few gathers, rules <= ~8K).
+    direct=True: packed dense 64K-value table (256-segment gather chain,
+    any rule count; e1_ref holds the packed table, e2_ref is unused).
+    """
+
+    def kernel(
+        params_ref,  # SMEM int32[8]: length, _, next_byte, a1, a2, ffff, shift
+        carry_in_ref,  # SMEM (1,1) int32: cross-call carry (prior carry_out)
+        data_ref,  # (R,128) uint8 block
+        halo_ref,  # (8,128) uint8: first rows of the next block
+        e1_ref,  # (segs,128) int32 cuckoo table 1 / packed dense table
+        e2_ref,  # (segs,128) int32 cuckoo table 2 / dummy
+        out_ref,  # (R,128) uint16 byteswapped token slots
+        carry_out_ref,  # SMEM (1,1) int32
+        carry_ref,  # SMEM scratch (1,) int32: inter-block carry
+    ):
+        return _kernel_body(
+            direct, params_ref, carry_in_ref, data_ref, halo_ref,
+            e1_ref, e2_ref, out_ref, carry_out_ref, carry_ref,
+        )
+
+    return kernel
+
+
+def _kernel_body(
+    direct,
+    params_ref,
+    carry_in_ref,
+    data_ref,
+    halo_ref,
+    e1_ref,
+    e2_ref,
+    out_ref,
+    carry_out_ref,
+    carry_ref,
 ):
     i = pl.program_id(0)
     length = params_ref[0]
@@ -171,21 +221,28 @@ def _kernel(
     nxt = jnp.where(gidx == length - 1, jnp.maximum(next_byte, 0), nxt)
 
     p = d * 256 + nxt
-    # cuckoo probes (int32 wrap-around multiply matches the host builder)
-    h1 = ((p * a1) >> shift) & slots_mask
-    h2 = ((p * a2) >> shift) & slots_mask
-    e1 = _tree_lookup(e1_ref, h1)
-    e2 = _tree_lookup(e2_ref, h2)
-    key1 = (e1 >> 16) & 0xFFFF
-    key2 = (e2 >> 16) & 0xFFFF
-    hit1 = key1 == p
-    hit2 = key2 == p
-    val = jnp.where(hit1, e1 & 0xFFFF, e2 & 0xFFFF)
-    m = hit1 | hit2
-    # the one entry whose packed form collides with the empty sentinel
-    is_ffff = (p == 0xFFFF) & (ffff != 0)
-    m = m | is_ffff
-    val = jnp.where(is_ffff, 0xFFFF, val)
+    if direct:
+        # packed dense table: word p>>1 holds values for pairs 2k, 2k+1
+        # (0 = no rule; legal sentinel since supported values are >= 256)
+        w = _tree_lookup_loop(e1_ref, p >> 1)
+        val = jnp.where((p & 1) == 1, (w >> 16) & 0xFFFF, w & 0xFFFF)
+        m = val != 0
+    else:
+        # cuckoo probes (int32 wrap-around multiply matches the host builder)
+        h1 = ((p * a1) >> shift) & slots_mask
+        h2 = ((p * a2) >> shift) & slots_mask
+        e1 = _tree_lookup(e1_ref, h1)
+        e2 = _tree_lookup(e2_ref, h2)
+        key1 = (e1 >> 16) & 0xFFFF
+        key2 = (e2 >> 16) & 0xFFFF
+        hit1 = key1 == p
+        hit2 = key2 == p
+        val = jnp.where(hit1, e1 & 0xFFFF, e2 & 0xFFFF)
+        m = hit1 | hit2
+        # the one entry whose packed form collides with the empty sentinel
+        is_ffff = (p == 0xFFFF) & (ffff != 0)
+        m = m | is_ffff
+        val = jnp.where(is_ffff, 0xFFFF, val)
 
     valid_pair = (gidx < length - 1) | ((gidx == length - 1) & (next_byte >= 0))
     m = m & valid_pair
@@ -217,20 +274,21 @@ def _kernel(
     carry_out_ref[0, 0] = c_next
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "direct"))
 def _flat_encode_pallas_call(
     params: jnp.ndarray,  # int32[8]
     carry_in: jnp.ndarray,  # int32[1,1] (a prior call's carry output)
     data3: jnp.ndarray,  # uint8[num_blocks*R + 8, 128] (halo rows)
-    e1: jnp.ndarray,  # int32[16,128]
-    e2: jnp.ndarray,  # int32[16,128]
+    e1: jnp.ndarray,  # int32[segs,128]
+    e2: jnp.ndarray,  # int32[segs,128]
     interpret: bool = False,
+    direct: bool = False,
 ):
     total_rows = data3.shape[0] - 8
     num_blocks = total_rows // ROWS_PER_BLOCK
     grid = (num_blocks,)
     out, carry = pl.pallas_call(
-        _kernel,
+        _make_kernel(direct),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -295,20 +353,32 @@ class PallasFlatEncoder:
                 "Pallas encoder requires all merge values >= 256 "
                 "(drop-after-merge drain rule)"
             )
-        slots = table.cuckoo_slots(max_slots=MAX_SLOTS)
-        built = table.build_cuckoo(slots)
-        if built is None and slots < MAX_SLOTS:
-            built = table.build_cuckoo(MAX_SLOTS)
-            slots = MAX_SLOTS
-        if built is None:
-            raise ValueError("rule table too large for the cuckoo hash")
-        e1, e2, a1, a2, has_ffff = built
-        self.shift = 32 - (slots.bit_length() - 1)
-        self.e1 = jnp.asarray(e1.reshape(slots // LANES, LANES))
-        self.e2 = jnp.asarray(e2.reshape(slots // LANES, LANES))
-        self.a1 = a1
-        self.a2 = a2
-        self.has_ffff = has_ffff
+        built = None
+        if len(table.merges) <= MAX_SLOTS:
+            slots = table.cuckoo_slots(max_slots=MAX_SLOTS)
+            built = table.build_cuckoo(slots)
+            if built is None and slots < MAX_SLOTS:
+                built = table.build_cuckoo(MAX_SLOTS)
+                slots = MAX_SLOTS
+        if built is not None:
+            e1, e2, a1, a2, has_ffff = built
+            self.direct = False
+            self.shift = 32 - (slots.bit_length() - 1)
+            self.e1 = jnp.asarray(e1.reshape(slots // LANES, LANES))
+            self.e2 = jnp.asarray(e2.reshape(slots // LANES, LANES))
+            self.a1 = a1
+            self.a2 = a2
+            self.has_ffff = has_ffff
+        else:
+            # Large tables: packed dense 64K-value table, direct lookup.
+            packed = table.build_packed_dense()
+            self.direct = True
+            self.shift = 0
+            self.e1 = jnp.asarray(packed.reshape(-1, LANES))  # (256,128)
+            self.e2 = jnp.asarray(np.zeros((8, LANES), np.int32))
+            self.a1 = 1
+            self.a2 = 1
+            self.has_ffff = False
         self.interpret = interpret
         self.capacity = (
             -(-capacity_bytes // BLOCK) * BLOCK if capacity_bytes else 0
@@ -321,7 +391,7 @@ class PallasFlatEncoder:
         values = list(table.merges.values())
         if values and min(values) < 256:
             return False
-        return len(table.merges) <= MAX_SLOTS  # cuckoo load limit
+        return True  # cuckoo for small tables, packed-dense direct beyond
 
     def encode(
         self,
@@ -367,7 +437,13 @@ class PallasFlatEncoder:
                 np.array([[1 if carry_in else 0]], dtype=np.int32)
             )
         out, carry = _flat_encode_pallas_call(
-            params, carry_in, data3, self.e1, self.e2, interpret=self.interpret
+            params,
+            carry_in,
+            data3,
+            self.e1,
+            self.e2,
+            interpret=self.interpret,
+            direct=self.direct,
         )
         return out, n, carry
 

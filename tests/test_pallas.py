@@ -112,3 +112,26 @@ def test_ffff_rule_special_case():
     got = run_encoder(enc, np.array(data))
     assert got == bpe_encode_flat(np.array(data), t).tolist()
     assert 0xFFFF in got
+
+
+def test_direct_mode_50k_rules():
+    """Large tables (BASELINE config-3 scale) use the packed-dense path."""
+    rng = np.random.default_rng(0)
+    merges = {}
+    vocab = 256
+    while len(merges) < 20000:
+        key = (int(rng.integers(0, 256)), int(rng.integers(0, 256)))
+        if key not in merges:
+            merges[key] = vocab
+            vocab += 1
+    t = MergeTable.build(merges)
+    enc = PallasFlatEncoder(t, interpret=True)
+    assert enc.direct
+    data = rng.integers(0, 256, 40000).astype(np.uint8)
+    got = run_encoder(enc, data)
+    assert got == bpe_encode_flat(data, t).tolist()
+
+
+def test_u16_range_validation():
+    with pytest.raises(ValueError, match="u16 token range"):
+        MergeTable.build({(97, 98): 70000})

@@ -7,6 +7,8 @@ determinism (same input => identical bytes across chunk sizes), standing in
 for the reference's race-safety guarantees (SURVEY.md 5).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -108,3 +110,56 @@ def test_deterministic_across_runs(tmp_path, corpus):
     a = run_with(tmp_path, corpus, Engine.NUMPY, merges_text=MERGES_TEXT)
     b = run_with(tmp_path, corpus, Engine.NUMPY, merges_text=MERGES_TEXT)
     assert a == b
+
+
+def test_jax_engine_ragged_stream_chunks():
+    """Stream reads can be short at any point (reference pipeline.rs:311);
+    the device engines' carry protocol must be exact for ragged batches."""
+    from blt_tpu.pipeline.engines import JaxEngine
+
+    rng = np.random.default_rng(11)
+    table = MergeTable.build(MERGES)
+    data = rng.choice(np.frombuffer(b"abcabcaabbcc", np.uint8), 40_000).astype(
+        np.uint8
+    )
+    # ragged split: sizes 1..5000, nothing aligned
+    chunks = []
+    pos = 0
+    szs = [1, 4999, 37, 2048, 3, 5000]
+    i = 0
+    while pos < data.shape[0]:
+        k = min(szs[i % len(szs)], data.shape[0] - pos)
+        chunks.append(data[pos : pos + k])
+        pos += k
+        i += 1
+    engine = JaxEngine()
+    out = b"".join(engine.bpe_stream(iter(chunks), table, 8192))
+    assert out == tokens_to_be_bytes(bpe_encode_oracle(data.tobytes(), MERGES))
+
+
+def test_stdin_streaming_cli_parity(tmp_path):
+    """File path and stream path must produce identical bytes."""
+    import subprocess
+    import sys
+
+    data = (b"abcabc" * 5000)[:-1]
+    mp = tmp_path / "m.txt"
+    mp.write_text(MERGES_TEXT)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "blt_tpu.cli", "--merges", str(mp),
+         "--chunksize", "256KB"],
+        input=data, capture_output=True, env=env, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    ip = tmp_path / "in.bin"
+    op = tmp_path / "out.bin"
+    ip.write_bytes(data)
+    run_tokenizer(
+        CoreConfig.new_from_cli(
+            input=ip, output=op, merges=mp, chunksize="256KB",
+            engine=Engine.NUMPY,
+        )
+    )
+    assert r.stdout == op.read_bytes()
