@@ -20,6 +20,7 @@ with a final block_until_ready.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -38,22 +39,33 @@ def log(msg: str) -> None:
 
 
 _BASE = None
+_BASE_CACHE = os.path.expanduser("~/.cache/blt_tpu_bench_corpus.npy")
 
 
 def make_corpus(rng, n):
-    """Zipf-ish text bytes; built once at 4MB and tiled+rotated (host RAM
-    bandwidth on the bench VM makes fresh 64MB sampling prohibitively slow;
-    the kernel is content-oblivious so tiling does not skew throughput)."""
+    """Zipf-ish text bytes; built once at 4MB, cached on disk, and
+    tiled+rotated (host RAM bandwidth on the bench VM makes fresh 64MB
+    sampling prohibitively slow; the kernel is content-oblivious so tiling
+    does not skew throughput)."""
     global _BASE
     base_n = 4 * 1024 * 1024
     if _BASE is None:
-        alphabet = np.frombuffer(
-            b"etaoinshrdlucmfwypvbgkjqxz ETAOIN,.;:'\"!?0123456789", np.uint8
-        )
-        weights = 1.0 / np.arange(1, len(alphabet) + 1)
-        _BASE = rng.choice(
-            alphabet, size=base_n, p=weights / weights.sum()
-        ).astype(np.uint8)
+        if os.path.exists(_BASE_CACHE):
+            _BASE = np.load(_BASE_CACHE)
+        else:
+            alphabet = np.frombuffer(
+                b"etaoinshrdlucmfwypvbgkjqxz ETAOIN,.;:'\"!?0123456789",
+                np.uint8,
+            )
+            weights = 1.0 / np.arange(1, len(alphabet) + 1)
+            _BASE = rng.choice(
+                alphabet, size=base_n, p=weights / weights.sum()
+            ).astype(np.uint8)
+            try:
+                os.makedirs(os.path.dirname(_BASE_CACHE), exist_ok=True)
+                np.save(_BASE_CACHE, _BASE)
+            except OSError:
+                pass
     reps = -(-n // base_n)
     shift = int(rng.integers(0, base_n))
     return np.roll(np.tile(_BASE, reps)[:n], shift)
