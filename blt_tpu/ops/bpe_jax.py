@@ -129,39 +129,6 @@ def flat_encode(
 
 
 @jax.jit
-def flat_encode_carry_pair(
-    data: jnp.ndarray,
-    length: jnp.ndarray,
-    dense: jnp.ndarray,
-    next_byte: jnp.ndarray,
-):
-    """carry_out for BOTH possible carry_in values, from one scan.
-
-    Used by the sharded path: every shard computes (carry_out | carry_in=0,
-    carry_out | carry_in=1) locally in parallel; the tiny boolean function
-    composition across shards is then resolved with an O(num_shards) scan.
-    """
-    n = data.shape[0]
-    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
-    t = data.astype(jnp.int32)
-    nxt = jnp.roll(t, -1)
-    last_i = jnp.maximum(length - 1, 0)
-    nxt = nxt.at[last_i].set(jnp.where(next_byte >= 0, next_byte, 0))
-    valid_pair = (idx < (length - 1)) | ((idx == length - 1) & (next_byte >= 0))
-    in_range = (t < 256) & (nxt < 256)
-    pair_idx = jnp.where(in_range, t * 256 + nxt, 0)
-    pv = jnp.take(dense, pair_idx)
-    match = valid_pair & in_range & (pv != NO_RULE)
-    lnm = _last_nonmatch(match, idx)
-    s0 = _starts_from_scan(match, lnm, idx, jnp.bool_(False))
-    s1 = _starts_from_scan(match, lnm, idx, jnp.bool_(True))
-    has_next = next_byte >= 0
-    co0 = jnp.where(length > 0, s0[last_i] & has_next, False)
-    co1 = jnp.where(length > 0, s1[last_i] & has_next, False)
-    return co0, co1
-
-
-@jax.jit
 def tokens_to_be_bytes_device(tokens: jnp.ndarray) -> jnp.ndarray:
     """int32[N] token ids -> uint16[N] whose LE memory image is the u16-BE
     wire stream (a byteswap, pure elementwise — interleave/stack lowerings

@@ -40,7 +40,7 @@ loadable from a merges file). Other tables fall back to the XLA kernels.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

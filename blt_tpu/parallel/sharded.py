@@ -22,8 +22,7 @@ axis (XLA inserts the collective from the sharding annotation).
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ config_loader.rs:144-155).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -119,3 +119,53 @@ def save_merges(merges: BpeMerges, path) -> None:
                 f.write(f"{a} {b}\n")
             else:
                 f.write(f"# hierarchical rule ({a},{b})->{v} not file-representable\n")
+
+
+@functools.partial(jax.jit, static_argnames=("vocab",))
+def _count_pairs_sharded(
+    tokens: jnp.ndarray, lengths: jnp.ndarray, vocab: int
+) -> jnp.ndarray:
+    """Global pair histogram over a row-sharded (B, N) token batch.
+
+    Row-local scatter-adds followed by a cross-row sum; under a mesh the
+    sum lowers to the psum of BASELINE.json's "per-pair count reductions".
+    Row-boundary pairs are excluded — training counts are statistical, and
+    skipping B-1 pairs out of ~B*N keeps every row independent.
+    """
+    hists = jax.vmap(_count_pairs, in_axes=(0, 0, None))(tokens, lengths, vocab)
+    return jnp.sum(hists, axis=0)
+
+
+_apply_one_rule_rows = jax.jit(jax.vmap(_apply_one_rule, in_axes=(0, 0, None, None, None)))
+
+
+def learn_bpe_sharded(
+    batch: np.ndarray,  # uint8[B, N] corpus rows (shard across a mesh)
+    lengths: np.ndarray,  # int32[B]
+    num_merges: int,
+) -> BpeMerges:
+    """Greedy BPE training over a row-sharded corpus.
+
+    The data-parallel variant of learn_bpe: counting reduces globally
+    across rows/shards each round; the winning rule is applied row-locally
+    (merges never cross row boundaries during training — a statistical
+    approximation that keeps every round embarrassingly parallel).
+    Deterministic: ties break toward the smallest pair index.
+    """
+    vocab = 256 + num_merges
+    tokens = jnp.asarray(batch.astype(np.int32))
+    lens = jnp.asarray(lengths.astype(np.int32))
+    merges: BpeMerges = {}
+    new_id = 256
+    for _ in range(num_merges):
+        hist = _count_pairs_sharded(tokens, lens, vocab)
+        best = int(jnp.argmax(hist))
+        if int(hist[best]) < 2:
+            break
+        a, b = best // vocab, best % vocab
+        merges[(a, b)] = new_id
+        tokens, lens = _apply_one_rule_rows(
+            tokens, lens, jnp.int32(a), jnp.int32(b), jnp.int32(new_id)
+        )
+        new_id += 1
+    return merges

@@ -25,7 +25,7 @@ from typing import Iterator, Optional
 import numpy as np
 
 from blt_tpu.config import CoreConfig, Mode
-from blt_tpu.io.sources import InputSource, OutputWriter, setup_io
+from blt_tpu.io.sources import OutputWriter, setup_io
 from blt_tpu.pipeline.engines import JaxEngine, select_engine
 from blt_tpu.utils.chunking import get_effective_chunk_size
 from blt_tpu.utils.logging import get_logger, span
