@@ -11,10 +11,17 @@ throughput on one chip, i.e. real tokenization work, not passthrough.
 
 BPE runs the Pallas kernel (blt_tpu/ops/bpe_pallas.py): cuckoo-hashed rule
 lookup via 128-lane dynamic_gather trees + two-phase parity scan, exact
-reference semantics. Methodology: device-resident input (the feeder
-pipeline overlaps host I/O; this measures the compute ceiling per chip),
-jit-compiled once, then timed over repeated dispatches on distinct buffers
-with a final block_until_ready.
+reference semantics.
+
+Methodology: device-resident input (the feeder pipeline overlaps host I/O;
+this measures the compute ceiling per chip). Each timed jit call chains K
+kernel invocations back-to-back on-device via lax.scan, with each
+iteration consuming the previous one's carry/token — this is the
+steady-state dispatch shape for large streams and removes per-dispatch
+host overhead from the measurement (through the axon tunnel a single
+dispatch costs ~3 ms of host time, which at 64MB/dispatch would understate
+device throughput several-fold; measured floor: a raw u8 HBM copy kernel
+runs at ~109 GB/s device-chained vs ~15 GB/s dispatch-bound).
 """
 
 from __future__ import annotations
@@ -28,10 +35,11 @@ import numpy as np
 
 REFERENCE_BASELINE_BYTES_PER_SEC = 2.6e9
 N = 64 * 1024 * 1024  # 64MB device batches
-WARMUP = 2
-ITERS = 12  # buffers are device-resident/reused; more iters amortize the
-            # per-sync tunnel round-trip in the timing
+K = 16  # kernels chained per jit call
+REPS = 3  # timed jit calls
 RULES = 500
+BASIC_RPB = 2048
+BPE_RPB = 1024
 
 
 def log(msg: str) -> None:
@@ -77,13 +85,11 @@ def main() -> None:
 
     from blt_tpu.merges import MergeTable
     from blt_tpu.ops.bpe_pallas import (
-        BLOCK,
         LANES,
-        ROWS_PER_BLOCK,
         PallasFlatEncoder,
-        _flat_encode_pallas_call,
-        basic_encode_pallas,
+        basic_encode_chained,
         filter_slots,
+        flat_encode_chained,
     )
     from blt_tpu.ops.bpe_numpy import bpe_encode_flat
     from blt_tpu.utils.compcache import enable_compilation_cache
@@ -108,40 +114,37 @@ def main() -> None:
     assert table.flat
 
     def force(small):
-        # block_until_ready alone does not guarantee device completion
-        # through the axon tunnel; a D2H read of a kernel's own tiny SMEM
-        # output does (a plain transfer — slicing a big output would compile
-        # an uncached XLA slice costing minutes via remote compile).
-        # Launches execute in order on the device stream, so forcing the
-        # LAST launch's token bounds the makespan of all of them.
+        # A D2H read of a kernel's tiny SMEM output guarantees device
+        # completion through the axon tunnel (block_until_ready alone does
+        # not). Chained calls execute in order, so forcing the last call's
+        # token bounds the makespan of all of them.
         np.asarray(small)
 
-    # --- basic mode (Pallas widen kernel; Pallas compiles persist in the
-    # compilation cache where plain XLA jits do not on this setup).
-    # One device-resident buffer is reused across iterations: uploads
-    # through the tunnel are slow/variable and the widen is
-    # content-oblivious; force() guarantees per-iteration completion. ---
+    # --- basic mode: K widen kernels chained on-device per jit call ---
     rows = N // LANES
     log("uploading basic buffer...")
     buf0 = jax.device_put(host.reshape(rows, LANES))
+    tok0 = jax.device_put(np.zeros((1, 1), np.int32))
     t0 = time.perf_counter()
-    out, done = basic_encode_pallas(buf0)
-    force(done)
+    out, tok = basic_encode_chained(buf0, tok0, k=K, rows_per_block=BASIC_RPB)
+    force(tok)
     log(f"basic compile+first: {time.perf_counter()-t0:.2f}s")
-    for _ in range(WARMUP):
-        out, done = basic_encode_pallas(buf0)
-    force(done)
+    out, tok = basic_encode_chained(buf0, tok0, k=K, rows_per_block=BASIC_RPB)
+    force(tok)
     t0 = time.perf_counter()
-    dones = [basic_encode_pallas(buf0)[1] for _ in range(ITERS)]
-    force(dones[-1])
-    basic_bps = N * ITERS / (time.perf_counter() - t0)
-    del dones, buf0
+    for _ in range(REPS):
+        out, tok = basic_encode_chained(
+            buf0, tok0, k=K, rows_per_block=BASIC_RPB
+        )
+    force(tok)
+    basic_bps = N * K * REPS / (time.perf_counter() - t0)
+    del out, tok, buf0
     log(f"basic: {basic_bps/1e9:.2f} GB/s")
 
-    # --- flat BPE (Pallas kernel), device-resident batches ---
-    enc = PallasFlatEncoder(table, capacity_bytes=N)
-    num_blocks = N // BLOCK
-    padded_rows = num_blocks * ROWS_PER_BLOCK + 8
+    # --- flat BPE (Pallas kernel), K carry-chained kernels per jit call ---
+    enc = PallasFlatEncoder(table, capacity_bytes=N, rows_per_block=BPE_RPB)
+    num_blocks = N // enc.block
+    padded_rows = num_blocks * enc.rows_per_block + 8
 
     def to_d3(h):
         buf = np.zeros((padded_rows * LANES,), np.uint8)
@@ -153,22 +156,31 @@ def main() -> None:
     )
     log("uploading bpe buffer...")
     d3 = to_d3(host)
-    zero_carry = jnp.asarray(np.zeros((1, 1), np.int32))
+    zero_carry = jax.device_put(np.zeros((1, 1), np.int32))
+
+    def run_bpe():
+        return flat_encode_chained(
+            params,
+            zero_carry,
+            d3,
+            enc.e1,
+            enc.e2,
+            k=K,
+            direct=enc.direct,
+            rows_per_block=enc.rows_per_block,
+        )
+
     t0 = time.perf_counter()
-    slots, carry = _flat_encode_pallas_call(params, zero_carry, d3, enc.e1, enc.e2)
+    slots, carry = run_bpe()
     force(carry)
     log(f"bpe compile+first: {time.perf_counter()-t0:.2f}s")
-
-    for _ in range(WARMUP):
-        c = _flat_encode_pallas_call(params, zero_carry, d3, enc.e1, enc.e2)[1]
-    force(c)
+    slots, carry = run_bpe()
+    force(carry)
     t0 = time.perf_counter()
-    carries = [
-        _flat_encode_pallas_call(params, zero_carry, d3, enc.e1, enc.e2)[1]
-        for _ in range(ITERS)
-    ]
-    force(carries[-1])
-    bpe_bps = N * ITERS / (time.perf_counter() - t0)
+    for _ in range(REPS):
+        slots, carry = run_bpe()
+    force(carry)
+    bpe_bps = N * K * REPS / (time.perf_counter() - t0)
     log(f"bpe: {bpe_bps/1e9:.2f} GB/s")
 
     # correctness spot check vs the NumPy engine on a 4MB prefix (the last
@@ -195,6 +207,7 @@ def main() -> None:
                 "bpe_exact_vs_oracle_prefix": bool(exact),
                 "backend": backend,
                 "buffer_bytes": N,
+                "chained_kernels_per_dispatch": K,
                 "bpe_rules": RULES,
             }
         )

@@ -51,7 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 from blt_tpu.merges import MergeTable
 
 LANES = 128
-ROWS_PER_BLOCK = 512  # 64K elements per grid step
+ROWS_PER_BLOCK = 512  # default rows per grid step (tunable per encoder)
 BLOCK = ROWS_PER_BLOCK * LANES
 MAX_SLOTS = 8192  # cuckoo sizing cap (adaptive: merges.MergeTable.cuckoo_slots)
 _NEG = -(2**31) + 1
@@ -209,7 +209,8 @@ def _kernel_body(
     r = data_ref.shape[0]
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 1)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 0)
-    block_start = i * BLOCK
+    block = r * LANES
+    block_start = i * block
     gidx = block_start + row_iota * LANES + lane_iota
 
     d = data_ref[:].astype(jnp.int32)
@@ -267,14 +268,16 @@ def _kernel_body(
     # carry to the next block / call: did a merge start on the final valid
     # byte of this block? Blocks entirely past length-1 (fixed-capacity
     # padding) must leave the carry untouched.
-    last_pos = jnp.minimum(block_start + BLOCK - 1, length - 1)
+    last_pos = jnp.minimum(block_start + block - 1, length - 1)
     computed = jnp.sum(jnp.where(gidx == last_pos, starts_i, 0))
     c_next = jnp.where(last_pos >= block_start, computed, carry_in)
     carry_ref[0] = c_next
     carry_out_ref[0, 0] = c_next
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "direct"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "direct", "rows_per_block")
+)
 def _flat_encode_pallas_call(
     params: jnp.ndarray,  # int32[8]
     carry_in: jnp.ndarray,  # int32[1,1] (a prior call's carry output)
@@ -283,9 +286,11 @@ def _flat_encode_pallas_call(
     e2: jnp.ndarray,  # int32[segs,128]
     interpret: bool = False,
     direct: bool = False,
+    rows_per_block: int = ROWS_PER_BLOCK,
 ):
+    rpb = rows_per_block
     total_rows = data3.shape[0] - 8
-    num_blocks = total_rows // ROWS_PER_BLOCK
+    num_blocks = total_rows // rpb
     grid = (num_blocks,)
     out, carry = pl.pallas_call(
         _make_kernel(direct),
@@ -297,13 +302,13 @@ def _flat_encode_pallas_call(
                     (1, 1), lambda i, params: (0, 0), memory_space=pltpu.SMEM
                 ),
                 pl.BlockSpec(
-                    (ROWS_PER_BLOCK, LANES),
+                    (rpb, LANES),
                     lambda i, params: (i, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
                     (8, LANES),
-                    lambda i, params: ((i + 1) * ROWS_PER_BLOCK // 8, 0),
+                    lambda i, params: ((i + 1) * rpb // 8, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -311,7 +316,7 @@ def _flat_encode_pallas_call(
             ],
             out_specs=(
                 pl.BlockSpec(
-                    (ROWS_PER_BLOCK, LANES),
+                    (rpb, LANES),
                     lambda i, params: (i, 0),
                     memory_space=pltpu.VMEM,
                 ),
@@ -344,7 +349,12 @@ class PallasFlatEncoder:
         table: MergeTable,
         interpret: bool = False,
         capacity_bytes: int = 0,
+        rows_per_block: int = ROWS_PER_BLOCK,
     ):
+        if rows_per_block % 8 != 0:
+            raise ValueError("rows_per_block must be a multiple of 8")
+        self.rows_per_block = rows_per_block
+        self.block = rows_per_block * LANES
         if not table.flat:
             raise ValueError("Pallas encoder requires a flat table")
         values = list(table.merges.values())
@@ -381,7 +391,9 @@ class PallasFlatEncoder:
             self.has_ffff = False
         self.interpret = interpret
         self.capacity = (
-            -(-capacity_bytes // BLOCK) * BLOCK if capacity_bytes else 0
+            -(-capacity_bytes // self.block) * self.block
+            if capacity_bytes
+            else 0
         )
 
     @staticmethod
@@ -410,10 +422,14 @@ class PallasFlatEncoder:
         drop-after-merge rule (filter_slots) over n_valid_slots slots.
         """
         n = data.shape[0]
-        capacity = self.capacity if self.capacity else -(-n // BLOCK) * BLOCK
+        capacity = (
+            self.capacity
+            if self.capacity
+            else -(-n // self.block) * self.block
+        )
         assert n <= capacity, f"batch {n} exceeds encoder capacity {capacity}"
-        num_blocks = capacity // BLOCK
-        padded_rows = num_blocks * ROWS_PER_BLOCK + 8
+        num_blocks = capacity // self.block
+        padded_rows = num_blocks * self.rows_per_block + 8
         buf = np.zeros((padded_rows * LANES,), np.uint8)
         buf[:n] = data
         data3 = jnp.asarray(buf.reshape(padded_rows, LANES))
@@ -444,6 +460,7 @@ class PallasFlatEncoder:
             self.e2,
             interpret=self.interpret,
             direct=self.direct,
+            rows_per_block=self.rows_per_block,
         )
         return out, n, carry
 
@@ -469,6 +486,109 @@ def filter_slots(slots: np.ndarray, prev_token: int) -> Tuple[np.ndarray, int]:
     return toks, int(slots[-1])
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "interpret", "direct", "rows_per_block")
+)
+def flat_encode_chained(
+    params: jnp.ndarray,
+    carry_in: jnp.ndarray,
+    data3: jnp.ndarray,
+    e1: jnp.ndarray,
+    e2: jnp.ndarray,
+    k: int = 8,
+    interpret: bool = False,
+    direct: bool = False,
+    rows_per_block: int = ROWS_PER_BLOCK,
+):
+    """Run the flat-BPE kernel k times back-to-back on the device.
+
+    Each iteration consumes the previous carry, so the loop body cannot be
+    hoisted and the device executes k kernels with no host round-trip —
+    the steady-state dispatch shape for large streams (and the honest way
+    to measure device throughput when per-dispatch host overhead is high,
+    e.g. through a tunneled TPU).
+    Returns (last_out, last_carry).
+    """
+
+    def body(c, _):
+        out, c2 = _flat_encode_pallas_call(
+            params,
+            c,
+            data3,
+            e1,
+            e2,
+            interpret=interpret,
+            direct=direct,
+            rows_per_block=rows_per_block,
+        )
+        return c2, ()
+
+    carry, _ = jax.lax.scan(body, carry_in, None, length=k - 1)
+    return _flat_encode_pallas_call(
+        params,
+        carry,
+        data3,
+        e1,
+        e2,
+        interpret=interpret,
+        direct=direct,
+        rows_per_block=rows_per_block,
+    )
+
+
+def _basic_chained_kernel(tok_ref, data_ref, out_ref, done_ref):
+    out_ref[:] = (data_ref[:].astype(jnp.int32) << 8).astype(jnp.uint16)
+    done_ref[0, 0] = pl.program_id(0) + tok_ref[0, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "rows_per_block"))
+def basic_encode_chained(
+    data2: jnp.ndarray,
+    tok: jnp.ndarray,  # int32[1,1]
+    k: int = 8,
+    interpret: bool = False,
+    rows_per_block: int = ROWS_PER_BLOCK,
+):
+    """k back-to-back widen kernels chained through a completion token.
+
+    The token is an input of each kernel and derived from the previous
+    one's output, so XLA cannot hoist or dedup the calls; see
+    flat_encode_chained for why. Returns (last_out, last_token).
+    """
+    rows = data2.shape[0]
+    rpb = rows_per_block
+
+    def call(t):
+        return pl.pallas_call(
+            _basic_chained_kernel,
+            grid=(rows // rpb,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (rpb, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (rpb, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((rows, LANES), jnp.uint16),
+                jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            ),
+            interpret=interpret,
+        )(t, data2)
+
+    def body(t, _):
+        out, t2 = call(t)
+        return t2, ()
+
+    tok, _ = jax.lax.scan(body, tok, None, length=k - 1)
+    return call(tok)
+
+
 def _basic_kernel(data_ref, out_ref, done_ref):
     # byte b -> u16 value b<<8, whose LE memory image is the BE pair [0, b].
     # Shift in int32 (Mosaic cannot legalize 16-bit shifts), then narrow.
@@ -478,8 +598,12 @@ def _basic_kernel(data_ref, out_ref, done_ref):
     done_ref[0, 0] = pl.program_id(0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def basic_encode_pallas(data2: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("interpret", "rows_per_block"))
+def basic_encode_pallas(
+    data2: jnp.ndarray,
+    interpret: bool = False,
+    rows_per_block: int = ROWS_PER_BLOCK,
+) -> jnp.ndarray:
     """uint8[R,128] -> uint16[R,128] widen (basic mode) as a Pallas kernel.
 
     Functionally identical to bpe_jax.basic_encode; exists because XLA-jit
@@ -487,18 +611,15 @@ def basic_encode_pallas(data2: jnp.ndarray, interpret: bool = False) -> jnp.ndar
     while Pallas kernels are — keeping repeated CLI/bench runs fast.
     """
     rows = data2.shape[0]
+    rpb = rows_per_block
     return pl.pallas_call(
         _basic_kernel,
-        grid=(rows // ROWS_PER_BLOCK,),
+        grid=(rows // rpb,),
         in_specs=[
-            pl.BlockSpec(
-                (ROWS_PER_BLOCK, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
-            )
+            pl.BlockSpec((rpb, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
         ],
         out_specs=(
-            pl.BlockSpec(
-                (ROWS_PER_BLOCK, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((rpb, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ),
         out_shape=(
@@ -512,8 +633,17 @@ def basic_encode_pallas(data2: jnp.ndarray, interpret: bool = False) -> jnp.ndar
 class PallasBasicEncoder:
     """Fixed-capacity basic-mode encoder (pad + run + trim protocol)."""
 
-    def __init__(self, capacity_bytes: int, interpret: bool = False):
-        self.capacity = -(-capacity_bytes // BLOCK) * BLOCK
+    def __init__(
+        self,
+        capacity_bytes: int,
+        interpret: bool = False,
+        rows_per_block: int = ROWS_PER_BLOCK,
+    ):
+        if rows_per_block % 8 != 0:
+            raise ValueError("rows_per_block must be a multiple of 8")
+        self.rows_per_block = rows_per_block
+        block = rows_per_block * LANES
+        self.capacity = -(-capacity_bytes // block) * block
         self.interpret = interpret
 
     def encode(self, data: np.ndarray) -> Tuple[jnp.ndarray, int]:
@@ -523,6 +653,8 @@ class PallasBasicEncoder:
         buf = np.zeros((rows * LANES,), np.uint8)
         buf[:n] = data
         out, done = basic_encode_pallas(
-            jnp.asarray(buf.reshape(rows, LANES)), interpret=self.interpret
+            jnp.asarray(buf.reshape(rows, LANES)),
+            interpret=self.interpret,
+            rows_per_block=self.rows_per_block,
         )
         return out, n
