@@ -135,3 +135,48 @@ def test_direct_mode_50k_rules():
 def test_u16_range_validation():
     with pytest.raises(ValueError, match="u16 token range"):
         MergeTable.build({(97, 98): 70000})
+
+
+def test_chained_dispatch_matches_single():
+    """flat_encode_chained(k) must equal k independent carry-threaded calls."""
+    import jax.numpy as jnp
+
+    from blt_tpu.ops.bpe_pallas import LANES, flat_encode_chained
+
+    t = MergeTable.build({(97, 97): 256, (97, 98): 257})
+    enc = PallasFlatEncoder(t, interpret=True, capacity_bytes=BLOCK)
+    rng = np.random.default_rng(7)
+    data = rng.choice(np.frombuffer(b"aabab", np.uint8), size=BLOCK).astype(np.uint8)
+    # reference: one plain encode of the same buffer
+    slots1, nv, c1 = enc.encode(data, False, -1)
+    padded_rows = BLOCK // LANES + 8
+    buf = np.zeros((padded_rows * LANES,), np.uint8)
+    buf[:BLOCK] = data
+    params = jnp.asarray(
+        np.array([BLOCK, 0, -1, enc.a1, enc.a2, 0, enc.shift, 0], np.int32)
+    )
+    zc = jnp.asarray(np.zeros((1, 1), np.int32))
+    slots2, c2 = flat_encode_chained(
+        params, zc, buf.reshape(padded_rows, LANES), enc.e1, enc.e2,
+        k=3, interpret=True, direct=enc.direct,
+        rows_per_block=enc.rows_per_block,
+    )
+    # identical input per iteration and zero boundary carry between full
+    # buffers of this data (ends mid-run is fine: chained carry feeds the
+    # next iteration's start, which equals re-running the same buffer)
+    assert np.array_equal(np.asarray(slots1), np.asarray(slots2))
+
+
+def test_basic_chained_matches_widen():
+    import jax.numpy as jnp
+
+    from blt_tpu.ops.bpe_pallas import LANES, basic_encode_chained
+
+    rng = np.random.default_rng(9)
+    rows = BLOCK // LANES
+    data2 = rng.integers(0, 256, (rows, LANES)).astype(np.uint8)
+    tok = jnp.asarray(np.zeros((1, 1), np.int32))
+    out, tok2 = basic_encode_chained(data2, tok, k=3, interpret=True)
+    assert np.array_equal(
+        np.asarray(out), data2.astype(np.uint16) << 8
+    )
