@@ -22,13 +22,17 @@ config_loader.rs:144-155).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+import os
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from blt_tpu.merges import BpeMerges
+from blt_tpu.utils.logging import get_logger
+
+log = get_logger("train")
 
 # Plain int (not a device array): module import must never touch a backend.
 _NEG_INF32 = -(2**31) + 1
@@ -139,10 +143,51 @@ def _count_pairs_sharded(
 _apply_one_rule_rows = jax.jit(jax.vmap(_apply_one_rule, in_axes=(0, 0, None, None, None)))
 
 
+def save_checkpoint(
+    path,
+    merges: BpeMerges,
+    tokens: np.ndarray,
+    lengths: np.ndarray,
+    new_id: int,
+) -> None:
+    """Atomically persist a training state (crash-safe: tmp + rename).
+
+    The reference has no checkpoint/resume at all (SURVEY.md 5); a failed
+    run there loses everything and can leave truncated output. Training
+    state here is the full resumable tuple: learned rules so far, the next
+    rule id, and the working token rows with their live lengths.
+    """
+    keys = np.array(list(merges.keys()), np.int32).reshape(-1, 2)
+    vals = np.array(list(merges.values()), np.int32)
+    tmp = f"{path}.tmp"
+    with open(tmp, "wb") as f:
+        np.savez(
+            f,
+            keys=keys,
+            vals=vals,
+            new_id=np.int32(new_id),
+            tokens=np.asarray(tokens),
+            lengths=np.asarray(lengths),
+        )
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path):
+    """Load a save_checkpoint file -> (merges, new_id, tokens, lengths)."""
+    z = np.load(path)
+    merges = {
+        (int(a), int(b)): int(v) for (a, b), v in zip(z["keys"], z["vals"])
+    }
+    return merges, int(z["new_id"]), z["tokens"], z["lengths"]
+
+
 def learn_bpe_sharded(
     batch: np.ndarray,  # uint8[B, N] corpus rows (shard across a mesh)
     lengths: np.ndarray,  # int32[B]
     num_merges: int,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ) -> BpeMerges:
     """Greedy BPE training over a row-sharded corpus.
 
@@ -151,13 +196,29 @@ def learn_bpe_sharded(
     (merges never cross row boundaries during training — a statistical
     approximation that keeps every round embarrassingly parallel).
     Deterministic: ties break toward the smallest pair index.
+
+    With ``checkpoint_path`` set and ``checkpoint_every`` > 0, the full
+    training state is persisted atomically every that-many learned rules
+    (and once at completion); ``resume=True`` restarts from the checkpoint
+    when it exists, producing the identical final table a crash-free run
+    would have (training is deterministic).
     """
     vocab = 256 + num_merges
-    tokens = jnp.asarray(batch.astype(np.int32))
-    lens = jnp.asarray(lengths.astype(np.int32))
     merges: BpeMerges = {}
     new_id = 256
-    for _ in range(num_merges):
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        merges, new_id, tok_np, len_np = load_checkpoint(checkpoint_path)
+        tokens = jnp.asarray(tok_np.astype(np.int32))
+        lens = jnp.asarray(len_np.astype(np.int32))
+        log.info(
+            "resumed training from %s (%d rules learned)",
+            checkpoint_path,
+            len(merges),
+        )
+    else:
+        tokens = jnp.asarray(batch.astype(np.int32))
+        lens = jnp.asarray(lengths.astype(np.int32))
+    while new_id - 256 < num_merges:
         hist = _count_pairs_sharded(tokens, lens, vocab)
         best = int(jnp.argmax(hist))
         if int(hist[best]) < 2:
@@ -168,4 +229,12 @@ def learn_bpe_sharded(
             tokens, lens, jnp.int32(a), jnp.int32(b), jnp.int32(new_id)
         )
         new_id += 1
+        if (
+            checkpoint_path
+            and checkpoint_every > 0
+            and (new_id - 256) % checkpoint_every == 0
+        ):
+            save_checkpoint(checkpoint_path, merges, tokens, lens, new_id)
+    if checkpoint_path and checkpoint_every > 0:
+        save_checkpoint(checkpoint_path, merges, tokens, lens, new_id)
     return merges

@@ -159,3 +159,47 @@ def test_learn_bpe_sharded_matches_single_device(mesh):
 
     toks = bpe_encode(arr, MT.build(sharded))
     assert len(toks) < 0.8 * arr.shape[0]
+
+
+def test_train_checkpoint_resume(tmp_path):
+    """An interrupted run resumed from its checkpoint matches a clean run."""
+    import numpy as np
+
+    from blt_tpu.parallel.train import (
+        learn_bpe_sharded,
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    rng = np.random.default_rng(5)
+    batch = rng.choice(
+        np.frombuffer(b"abcabcaabb  ", np.uint8), size=(4, 512)
+    ).astype(np.uint8)
+    lengths = np.full(4, 512, np.int32)
+    ckpt = str(tmp_path / "train.ckpt.npz")
+
+    clean = learn_bpe_sharded(batch, lengths, 6)
+
+    # "crash" after 3 rules: run with a smaller budget, checkpointing
+    learn_bpe_sharded(
+        batch, lengths, 3, checkpoint_path=ckpt, checkpoint_every=1
+    )
+    merges, new_id, tok, lens = load_checkpoint(ckpt)
+    assert len(merges) == 3 and new_id == 259
+    # resume to the full budget; must equal the uninterrupted result
+    resumed = learn_bpe_sharded(
+        batch, lengths, 6, checkpoint_path=ckpt, checkpoint_every=2, resume=True
+    )
+    assert resumed == clean
+    # checkpoint rewritten at completion and loadable
+    merges2, new_id2, _, _ = load_checkpoint(ckpt)
+    assert merges2 == clean and new_id2 == 256 + len(clean)
+
+    # atomicity artifact: no stray tmp file left behind
+    assert not (tmp_path / "train.ckpt.npz.tmp").exists()
+
+    # save/load round-trip preserves dtypes and state exactly
+    save_checkpoint(ckpt, merges2, tok, lens, new_id2)
+    m3, n3, t3, l3 = load_checkpoint(ckpt)
+    assert m3 == merges2 and n3 == new_id2
+    assert np.array_equal(t3, tok) and np.array_equal(l3, lens)
