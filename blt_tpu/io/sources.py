@@ -95,6 +95,9 @@ class OutputWriter:
         self._f.flush()
 
     def close(self) -> None:
+        if getattr(self, "_closed", False):
+            return
+        self._closed = True
         self.flush()
         if self._own:
             self._f.close()

@@ -178,6 +178,80 @@ class MergeTable:
             slots *= 2
         return slots
 
+    def build_cuckoo32(self, slots: int | None = None, max_seed_tries: int = 64):
+        """2-table cuckoo over 32-bit pair keys for the multipass token
+        kernel (general tables: keys may be any (u16,u16), e.g. hierarchical
+        rules like (256,99)->257).
+
+        Key = ``(a << 16) | b`` wrapped to int32, matching the device's
+        ``a * 65536 + b`` int32 arithmetic exactly. Keys and values live in
+        separate int32 planes so no packing limits the key range; empty
+        slots carry value -1, which no real rule can have (values are u16),
+        so a hit is ``key_plane == p AND value_plane >= 0``.
+
+        Returns (K1, V1, K2, V2, A1, A2) or None when placement fails.
+        """
+        if slots is None:
+            slots = self.cuckoo_slots()
+
+        def wrap32(x: int) -> int:
+            x &= 0xFFFFFFFF
+            return x - (1 << 32) if x >= 1 << 31 else x
+
+        rules = [
+            (wrap32((a << 16) | b), v) for (a, b), v in self.merges.items()
+        ]
+        if len(rules) > slots:  # 2-way cuckoo load limit ~0.5 of 2*slots
+            return None
+        rng = np.random.default_rng(0x32B17)
+        mask = slots - 1
+        shift = 32 - (slots.bit_length() - 1)
+        for _ in range(max_seed_tries):
+            a1 = int(rng.integers(1, 2**31)) | 1
+            a2 = int(rng.integers(1, 2**31)) | 1
+
+            def _hash(p: int, a: int) -> int:
+                return (wrap32(p * a) >> shift) & mask
+
+            t1: dict = {}
+            t2: dict = {}
+            ok = True
+            for key, val in rules:
+                k, v, which = key, val, 0
+                for _kick in range(256):
+                    if which == 0:
+                        slot = _hash(k, a1)
+                        if slot not in t1:
+                            t1[slot] = (k, v)
+                            break
+                        k2, v2 = t1[slot]
+                        t1[slot] = (k, v)
+                        k, v, which = k2, v2, 1
+                    else:
+                        slot = _hash(k, a2)
+                        if slot not in t2:
+                            t2[slot] = (k, v)
+                            break
+                        k2, v2 = t2[slot]
+                        t2[slot] = (k, v)
+                        k, v, which = k2, v2, 0
+                else:
+                    ok = False
+                    break
+            if ok:
+                k1 = np.zeros(slots, dtype=np.int32)
+                v1 = np.full(slots, -1, dtype=np.int32)
+                k2_ = np.zeros(slots, dtype=np.int32)
+                v2_ = np.full(slots, -1, dtype=np.int32)
+                for slot, (k, v) in t1.items():
+                    k1[slot] = k
+                    v1[slot] = v
+                for slot, (k, v) in t2.items():
+                    k2_[slot] = k
+                    v2_[slot] = v
+                return k1, v1, k2_, v2_, a1, a2
+        return None
+
     def build_cuckoo(self, slots: int = 2048, max_seed_tries: int = 64):
         """2-table cuckoo hash of byte-pair rules for the Pallas TPU kernel.
 

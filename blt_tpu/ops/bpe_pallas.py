@@ -543,6 +543,209 @@ def flat_encode_chained(
     )
 
 
+def _token_pass_kernel(
+    params_ref,  # SMEM int32[8]: length, a1, a2, shift
+    data_ref,  # (R,128) int32 tokens
+    halo_ref,  # (8,128) int32: first rows of the next block
+    k1_ref,  # (segs,128) int32 cuckoo key plane 1
+    v1_ref,  # (segs,128) int32 cuckoo value plane 1 (-1 = empty)
+    k2_ref,
+    v2_ref,
+    out_ref,  # (R,128) int32: token, or -1 at consumed slots
+    carry_ref,  # SMEM scratch (1,) int32: inter-block parity carry
+):
+    """One whole-sequence merge pass over u16 tokens (general tables).
+
+    The multipass analog of the flat byte kernel: same parity scan and
+    inter-block carry, but 32-bit pair keys ((a<<16)|b wrapped to int32)
+    looked up through two-plane cuckoo tables, and consumed slots emitted
+    as -1 tombstones for host-side compaction between passes. Reference
+    semantics: one iteration of the repeat-until-no-merges loop in
+    blt_core/src/tokenizer.rs:63-86.
+    """
+    i = pl.program_id(0)
+    length = params_ref[0]
+    a1 = params_ref[1]
+    a2 = params_ref[2]
+    shift = params_ref[3]
+    slots_mask = k1_ref.shape[0] * LANES - 1
+
+    r = data_ref.shape[0]
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 0)
+    block = r * LANES
+    block_start = i * block
+    gidx = block_start + row_iota * LANES + lane_iota
+
+    d = data_ref[:]
+    halo_fill = halo_ref[0:1, 0:1]
+    nxt = _shift_left_linear(d, halo_fill, lane_iota)
+
+    p = d * 65536 + nxt  # int32 wrap matches MergeTable.build_cuckoo32
+    h1 = ((p * a1) >> shift) & slots_mask
+    h2 = ((p * a2) >> shift) & slots_mask
+    e_k1 = _tree_lookup(k1_ref, h1)
+    e_v1 = _tree_lookup(v1_ref, h1)
+    e_k2 = _tree_lookup(k2_ref, h2)
+    e_v2 = _tree_lookup(v2_ref, h2)
+    hit1 = (e_k1 == p) & (e_v1 >= 0)
+    hit2 = (e_k2 == p) & (e_v2 >= 0)
+    val = jnp.where(hit1, e_v1, e_v2)
+    m = (hit1 | hit2) & (gidx < length - 1)
+
+    carry_in = jnp.where(i == 0, 0, carry_ref[0])
+    z = jnp.where(m, _NEG, gidx)
+    lnm = _scan_max_linear(z, lane_iota)
+    sentinel = block_start - 1 - carry_in
+    lz = jnp.maximum(lnm, sentinel)
+    starts = m & (((gidx - lz) & 1) == 1)
+
+    starts_i = starts.astype(jnp.int32)
+    consumed = _shift_right_linear(starts_i, carry_in, lane_iota) != 0
+    tok = jnp.where(starts, val, d)
+    out_ref[:] = jnp.where(consumed, -1, tok)
+
+    last_pos = jnp.minimum(block_start + block - 1, length - 1)
+    computed = jnp.sum(jnp.where(gidx == last_pos, starts_i, 0))
+    carry_ref[0] = jnp.where(last_pos >= block_start, computed, carry_in)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "rows_per_block")
+)
+def _token_pass_call(
+    params: jnp.ndarray,  # int32[8]
+    data3: jnp.ndarray,  # int32[num_blocks*R + 8, 128] (halo rows)
+    k1: jnp.ndarray,
+    v1: jnp.ndarray,
+    k2: jnp.ndarray,
+    v2: jnp.ndarray,
+    interpret: bool = False,
+    rows_per_block: int = ROWS_PER_BLOCK,
+):
+    rpb = rows_per_block
+    total_rows = data3.shape[0] - 8
+    num_blocks = total_rows // rpb
+    return pl.pallas_call(
+        _token_pass_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(num_blocks,),
+            in_specs=[
+                pl.BlockSpec(
+                    (rpb, LANES),
+                    lambda i, params: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (8, LANES),
+                    lambda i, params: ((i + 1) * rpb // 8, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (rpb, LANES),
+                lambda i, params: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((total_rows, LANES), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(params, data3, data3, k1, v1, k2, v2)
+
+
+class PallasTokenEncoder:
+    """Multipass encoder for general tables (hierarchical rules included).
+
+    Each device pass applies one whole-sequence merge round at flat-kernel
+    speed; the host compacts -1 tombstones between passes and stops when a
+    pass makes zero merges — the repeat-until-done loop of the reference
+    (tokenizer.rs:63-86) with per-chunk semantics (no cross-chunk state,
+    matching the reference's chunked behavior for general tables).
+    """
+
+    def __init__(
+        self,
+        table: MergeTable,
+        interpret: bool = False,
+        capacity_tokens: int = 0,
+        rows_per_block: int = ROWS_PER_BLOCK,
+    ):
+        built = table.build_cuckoo32()
+        if built is None:
+            raise ValueError("cuckoo32 placement failed for this table")
+        k1, v1, k2, v2, a1, a2 = built
+        slots = k1.shape[0]
+        self.rows_per_block = rows_per_block
+        self.block = rows_per_block * LANES
+        self.k1 = jnp.asarray(k1.reshape(slots // LANES, LANES))
+        self.v1 = jnp.asarray(v1.reshape(slots // LANES, LANES))
+        self.k2 = jnp.asarray(k2.reshape(slots // LANES, LANES))
+        self.v2 = jnp.asarray(v2.reshape(slots // LANES, LANES))
+        self.a1 = a1
+        self.a2 = a2
+        self.shift = 32 - (slots.bit_length() - 1)
+        self.interpret = interpret
+        self.capacity = (
+            -(-capacity_tokens // self.block) * self.block
+            if capacity_tokens
+            else 0
+        )
+
+    @staticmethod
+    def supports(table: MergeTable) -> bool:
+        return table.build_cuckoo32() is not None
+
+    def encode_pass(self, tokens: np.ndarray) -> np.ndarray:
+        """Run one merge pass; returns int32 tokens with -1 tombstones."""
+        n = tokens.shape[0]
+        capacity = (
+            self.capacity
+            if self.capacity
+            else -(-max(n, 1) // self.block) * self.block
+        )
+        assert n <= capacity, f"batch {n} exceeds encoder capacity {capacity}"
+        num_blocks = capacity // self.block
+        padded_rows = num_blocks * self.rows_per_block + 8
+        buf = np.zeros((padded_rows * LANES,), np.int32)
+        buf[:n] = tokens
+        params = jnp.asarray(
+            np.array(
+                [n, self.a1, self.a2, self.shift, 0, 0, 0, 0], dtype=np.int32
+            )
+        )
+        out = _token_pass_call(
+            params,
+            jnp.asarray(buf.reshape(padded_rows, LANES)),
+            self.k1,
+            self.v1,
+            self.k2,
+            self.v2,
+            interpret=self.interpret,
+            rows_per_block=self.rows_per_block,
+        )
+        return np.asarray(out).reshape(-1)[:n]
+
+    def encode(self, data: np.ndarray) -> np.ndarray:
+        """Full multipass encode of one chunk -> int32 token array."""
+        toks = data.astype(np.int32)
+        while toks.shape[0] > 1:
+            out = self.encode_pass(toks)
+            kept = out[out != -1]
+            if kept.shape[0] == toks.shape[0]:
+                return kept
+            toks = np.ascontiguousarray(kept)
+        return toks
+
+
 def _basic_chained_kernel(tok_ref, data_ref, out_ref, done_ref):
     out_ref[:] = (data_ref[:].astype(jnp.int32) << 8).astype(jnp.uint16)
     done_ref[0, 0] = pl.program_id(0) + tok_ref[0, 0]

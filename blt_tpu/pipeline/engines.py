@@ -287,6 +287,47 @@ class JaxEngine:
     def _bpe_multipass_stream(
         self, chunks: Iterable[np.ndarray], table: MergeTable, chunk_hint: int
     ) -> Iterator[bytes]:
+        """General (non-flat) tables: two device implementations.
+
+        - ``pallas`` (default): one Pallas token-pass kernel per merge round
+          at flat-kernel device speed, host compaction between rounds. Wins
+          whenever host<->device bandwidth is healthy (PCIe-attached TPU:
+          the kernel is ~50x faster than the XLA round-loop below).
+        - ``xla``: whole repeat-until-done loop on device (lax.while_loop +
+          searchsorted lookup) — no per-round transfers, so it wins on
+          setups where transfers are the bottleneck (e.g. a tunneled
+          remote TPU at ~50 MB/s).
+        Select with BLT_MULTIPASS=pallas|xla.
+        """
+        impl = os.environ.get("BLT_MULTIPASS", "pallas")
+        if impl != "xla" and self._jax.default_backend() == "tpu":
+            from blt_tpu.ops.bpe_pallas import PallasTokenEncoder
+
+            if PallasTokenEncoder.supports(table):
+                yield from self._bpe_multipass_pallas_stream(
+                    chunks, table, chunk_hint
+                )
+                return
+        yield from self._bpe_multipass_xla_stream(chunks, table, chunk_hint)
+
+    def _bpe_multipass_pallas_stream(
+        self, chunks: Iterable[np.ndarray], table: MergeTable, chunk_hint: int
+    ) -> Iterator[bytes]:
+        """Pallas token-pass kernel per merge round, host compaction between
+        rounds; per-chunk semantics (general tables match the reference's
+        chunk-dependent output, SURVEY.md 2.1.6)."""
+        from blt_tpu.ops.bpe_pallas import PallasTokenEncoder
+
+        enc = PallasTokenEncoder(table, capacity_tokens=align_up(chunk_hint))
+        for chunk in chunks:
+            if chunk.shape[0] == 0:
+                continue
+            toks = enc.encode(chunk)
+            yield toks.astype(">u2").tobytes()
+
+    def _bpe_multipass_xla_stream(
+        self, chunks: Iterable[np.ndarray], table: MergeTable, chunk_hint: int
+    ) -> Iterator[bytes]:
         from blt_tpu.ops import bpe_jax
 
         jnp = self._jax.numpy

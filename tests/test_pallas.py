@@ -180,3 +180,73 @@ def test_basic_chained_matches_widen():
     assert np.array_equal(
         np.asarray(out), data2.astype(np.uint16) << 8
     )
+
+
+def test_token_encoder_hierarchical_exact():
+    """Multipass token kernel == NumPy multipass on hierarchical rules
+    (the tokenizer.rs:204-212 iterative-merging semantics)."""
+    from blt_tpu.ops.bpe_numpy import bpe_encode_multipass
+    from blt_tpu.ops.bpe_pallas import PallasTokenEncoder
+
+    t = MergeTable.build({(97, 98): 256, (256, 99): 257, (257, 257): 300})
+    assert not t.flat
+    assert PallasTokenEncoder.supports(t)
+    enc = PallasTokenEncoder(t, interpret=True)
+    rng = np.random.default_rng(11)
+    data = rng.choice(np.frombuffer(b"abcabcabcx", np.uint8), size=4000).astype(
+        np.uint8
+    )
+    got = enc.encode(data).tolist()
+    exp = bpe_encode_multipass(data, t).tolist()
+    assert got == exp
+    assert 257 in got or 300 in got  # hierarchical merges actually fired
+
+
+def test_token_encoder_value_collision_and_zero():
+    """Merged values may collide with byte values (tokenizer.rs:283-291),
+    including value 0, and can re-merge on later passes."""
+    from blt_tpu.ops.bpe_numpy import bpe_encode_multipass
+    from blt_tpu.ops.bpe_pallas import PallasTokenEncoder
+
+    t = MergeTable.build({(120, 121): 90, (90, 122): 0, (0, 97): 400})
+    enc = PallasTokenEncoder(t, interpret=True)
+    data = np.frombuffer(b"axyzaxyza", np.uint8)
+    got = enc.encode(np.array(data)).tolist()
+    exp = bpe_encode_multipass(np.array(data), t).tolist()
+    assert got == exp
+
+
+def test_token_encoder_multiblock_adversarial():
+    """Parity carry across grid blocks inside one pass (all-'a' run)."""
+    from blt_tpu.ops.bpe_numpy import bpe_encode_multipass
+    from blt_tpu.ops.bpe_pallas import PallasTokenEncoder
+
+    t = MergeTable.build({(97, 97): 256, (256, 256): 257})
+    enc = PallasTokenEncoder(t, interpret=True)
+    data = np.full(BLOCK + 777, 97, np.uint8)
+    got = enc.encode(data)
+    exp = bpe_encode_multipass(data, t)
+    assert got.tolist() == exp.tolist()
+
+
+def test_token_encoder_randomized_vs_oracle():
+    from blt_tpu.ops.bpe_numpy import bpe_encode_multipass
+    from blt_tpu.ops.bpe_pallas import PallasTokenEncoder
+
+    rng = np.random.default_rng(13)
+    merges = {
+        (97, 98): 256,
+        (98, 97): 257,
+        (256, 257): 258,
+        (258, 99): 259,
+        (259, 259): 260,
+    }
+    t = MergeTable.build(merges)
+    enc = PallasTokenEncoder(t, interpret=True)
+    for n in (0, 1, 2, 5, 1000, 5000):
+        data = rng.choice(np.frombuffer(b"abbac", np.uint8), size=n).astype(
+            np.uint8
+        )
+        got = enc.encode(data).tolist()
+        exp = bpe_encode_multipass(data, t).tolist()
+        assert got == exp, n

@@ -163,3 +163,24 @@ def test_stdin_streaming_cli_parity(tmp_path):
         )
     )
     assert r.stdout == op.read_bytes()
+
+
+def test_partial_output_removed_on_failure(tmp_path, monkeypatch):
+    """A failed file-target run must not leave a truncated output file
+    (deliberate improvement over the reference, SURVEY.md 5)."""
+    import blt_tpu.pipeline.runner as runner
+    from blt_tpu.config import CoreConfig
+
+    inp = tmp_path / "in.bin"
+    outp = tmp_path / "out.bin"
+    inp.write_bytes(b"x" * 4096)
+
+    def boom(results, writer):
+        writer.write(b"partial")
+        raise IOError("injected chunk failure")
+
+    monkeypatch.setattr(runner, "_drain_to_writer", boom)
+    cfg = CoreConfig.new_from_cli(input=str(inp), output=str(outp))
+    with pytest.raises(IOError, match="injected"):
+        runner.run_tokenizer(cfg)
+    assert not outp.exists()
