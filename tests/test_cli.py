@@ -26,6 +26,13 @@ def run_cli(args, stdin=b""):
     )
 
 
+def _env():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
 def u16be(values):
     return b"".join(int(v).to_bytes(2, "big") for v in values)
 
@@ -117,3 +124,73 @@ def test_cli_missing_merges_file():
     r = run_cli(["--merges", "/nonexistent/m.txt"], b"x")
     assert r.returncode == 1
     assert b"Error running tokenizer:" in r.stderr
+
+
+class TestTrainCli:
+    def test_train_cli_end_to_end(self, tmp_path):
+        """Learn merges from a corpus, write reference-grammar merges.txt,
+        and reload them through the strict file parser."""
+        import subprocess
+        import sys
+
+        corpus = tmp_path / "corpus.txt"
+        corpus.write_bytes(b"ababab cdcdcd " * 200)
+        out = tmp_path / "merges.txt"
+        r = subprocess.run(
+            [sys.executable, "-m", "blt_tpu.train_cli", str(corpus),
+             "-o", str(out), "-n", "4"],
+            capture_output=True, env=_env(), timeout=560,
+        )
+        assert r.returncode == 0, r.stderr.decode()
+        from blt_tpu.merges import load_bpe_merges_from_path
+
+        merges = load_bpe_merges_from_path(out)
+        assert len(merges) >= 1
+
+    def test_train_cli_checkpoint_resume(self, tmp_path):
+        import subprocess
+        import sys
+
+        corpus = tmp_path / "corpus.txt"
+        corpus.write_bytes(b"hello world " * 300)
+        out1 = tmp_path / "m1.txt"
+        out2 = tmp_path / "m2.txt"
+        ckpt = tmp_path / "state.npz"
+        # interrupted run: small budget, checkpointing
+        r = subprocess.run(
+            [sys.executable, "-m", "blt_tpu.train_cli", str(corpus),
+             "-o", str(out1), "-n", "2", "--rows", "2",
+             "--checkpoint", str(ckpt), "--checkpoint-every", "1"],
+            capture_output=True, env=_env(), timeout=560,
+        )
+        assert r.returncode == 0, r.stderr.decode()
+        assert ckpt.exists()
+        # resumed to a larger budget == clean larger run
+        r = subprocess.run(
+            [sys.executable, "-m", "blt_tpu.train_cli", str(corpus),
+             "-o", str(out1), "-n", "5", "--rows", "2",
+             "--checkpoint", str(ckpt), "--resume"],
+            capture_output=True, env=_env(), timeout=560,
+        )
+        assert r.returncode == 0, r.stderr.decode()
+        r = subprocess.run(
+            [sys.executable, "-m", "blt_tpu.train_cli", str(corpus),
+             "-o", str(out2), "-n", "5", "--rows", "2"],
+            capture_output=True, env=_env(), timeout=560,
+        )
+        assert r.returncode == 0, r.stderr.decode()
+        assert out1.read_text() == out2.read_text()
+
+    def test_train_cli_empty_corpus_errors(self, tmp_path):
+        import subprocess
+        import sys
+
+        corpus = tmp_path / "empty.bin"
+        corpus.write_bytes(b"")
+        r = subprocess.run(
+            [sys.executable, "-m", "blt_tpu.train_cli", str(corpus),
+             "-o", str(tmp_path / "m.txt")],
+            capture_output=True, env=_env(), timeout=560,
+        )
+        assert r.returncode == 1
+        assert b"Error training merges" in r.stderr
