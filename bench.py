@@ -20,8 +20,9 @@ iteration consuming the previous one's carry/token — this is the
 steady-state dispatch shape for large streams and removes per-dispatch
 host overhead from the measurement (through the axon tunnel a single
 dispatch costs ~3 ms of host time, which at 64MB/dispatch would understate
-device throughput several-fold; measured floor: a raw u8 HBM copy kernel
-runs at ~109 GB/s device-chained vs ~15 GB/s dispatch-bound).
+device throughput up to 10x; measured floor: a raw u8 HBM copy kernel runs
+at ~228 GB/s device-chained vs ~15 GB/s dispatch-bound). Chain lengths are
+sized per mode to keep dispatch <5% of each timed call.
 """
 
 from __future__ import annotations
@@ -35,7 +36,10 @@ import numpy as np
 
 REFERENCE_BASELINE_BYTES_PER_SEC = 2.6e9
 N = 64 * 1024 * 1024  # 64MB device batches
-K = 16  # kernels chained per jit call
+# kernels chained per jit call, sized so the ~3ms per-dispatch tunnel
+# overhead stays <5% of each call's device time for that mode's rate
+K_BASIC = 96
+K_BPE = 24
 REPS = 3  # timed jit calls
 RULES = 500
 BASIC_RPB = 2048
@@ -126,18 +130,18 @@ def main() -> None:
     buf0 = jax.device_put(host.reshape(rows, LANES))
     tok0 = jax.device_put(np.zeros((1, 1), np.int32))
     t0 = time.perf_counter()
-    out, tok = basic_encode_chained(buf0, tok0, k=K, rows_per_block=BASIC_RPB)
+    out, tok = basic_encode_chained(buf0, tok0, k=K_BASIC, rows_per_block=BASIC_RPB)
     force(tok)
     log(f"basic compile+first: {time.perf_counter()-t0:.2f}s")
-    out, tok = basic_encode_chained(buf0, tok0, k=K, rows_per_block=BASIC_RPB)
+    out, tok = basic_encode_chained(buf0, tok0, k=K_BASIC, rows_per_block=BASIC_RPB)
     force(tok)
     t0 = time.perf_counter()
     for _ in range(REPS):
         out, tok = basic_encode_chained(
-            buf0, tok0, k=K, rows_per_block=BASIC_RPB
+            buf0, tok0, k=K_BASIC, rows_per_block=BASIC_RPB
         )
     force(tok)
-    basic_bps = N * K * REPS / (time.perf_counter() - t0)
+    basic_bps = N * K_BASIC * REPS / (time.perf_counter() - t0)
     del out, tok, buf0
     log(f"basic: {basic_bps/1e9:.2f} GB/s")
 
@@ -165,7 +169,7 @@ def main() -> None:
             d3,
             enc.e1,
             enc.e2,
-            k=K,
+            k=K_BPE,
             direct=enc.direct,
             rows_per_block=enc.rows_per_block,
         )
@@ -180,7 +184,7 @@ def main() -> None:
     for _ in range(REPS):
         slots, carry = run_bpe()
     force(carry)
-    bpe_bps = N * K * REPS / (time.perf_counter() - t0)
+    bpe_bps = N * K_BPE * REPS / (time.perf_counter() - t0)
     log(f"bpe: {bpe_bps/1e9:.2f} GB/s")
 
     # correctness spot check vs the NumPy engine on a 4MB prefix (the last
@@ -207,7 +211,7 @@ def main() -> None:
                 "bpe_exact_vs_oracle_prefix": bool(exact),
                 "backend": backend,
                 "buffer_bytes": N,
-                "chained_kernels_per_dispatch": K,
+                "chained_kernels_per_dispatch": {"basic": K_BASIC, "bpe": K_BPE},
                 "bpe_rules": RULES,
             }
         )

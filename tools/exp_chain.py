@@ -29,7 +29,7 @@ from blt_tpu.ops.bpe_pallas import (
 from blt_tpu.utils.compcache import enable_compilation_cache
 
 N = 64 * 1024 * 1024
-K = 16
+K = 96
 RULES = 500
 
 
