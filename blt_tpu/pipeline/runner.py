@@ -29,6 +29,7 @@ from blt_tpu.io.sources import OutputWriter, setup_io
 from blt_tpu.pipeline.engines import JaxEngine, select_engine
 from blt_tpu.utils.chunking import get_effective_chunk_size
 from blt_tpu.utils.logging import get_logger, span
+from blt_tpu.utils.profiling import maybe_profile
 
 log = get_logger("runner")
 
@@ -72,7 +73,10 @@ def run_tokenizer(config: CoreConfig) -> None:
         else:
             results = engine.bpe_stream(chunks, config.table(), feed_size)
 
-        _drain_to_writer(results, writer)
+        # BLT_PROFILE=<dir> captures the whole compute+drain phase (engines
+        # are lazy generators, so compiles and kernels run inside the trace).
+        with maybe_profile():
+            _drain_to_writer(results, writer)
     except BaseException:
         writer.close()
         # Deliberate improvement over the reference, which leaves a

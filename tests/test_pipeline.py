@@ -184,3 +184,17 @@ def test_partial_output_removed_on_failure(tmp_path, monkeypatch):
     with pytest.raises(IOError, match="injected"):
         runner.run_tokenizer(cfg)
     assert not outp.exists()
+
+
+def test_profile_trace_written(tmp_path, monkeypatch):
+    """BLT_PROFILE=<dir> wraps the run in a JAX profiler trace (SURVEY.md 5:
+    the rebuild's observability adds real device traces)."""
+    prof = tmp_path / "trace"
+    monkeypatch.setenv("BLT_PROFILE", str(prof))
+    out = run_with(tmp_path, b"hello profiler", Engine.NUMPY)
+    assert out == bytes(
+        b for ch in b"hello profiler" for b in (0, ch)
+    )
+    # jax.profiler.trace writes plugins/profile/<run>/ under the log dir
+    produced = list(prof.rglob("*.xplane.pb"))
+    assert produced, f"no xplane trace under {prof}"
