@@ -1,0 +1,189 @@
+"""HTTP tokenization service.
+
+The reference's architecture diagram and roadmap list a REST API that was
+never implemented (reference: ARCHITECTURE.md:49, README.md:399,
+CHANGELOG.md:11-13 — verified absent from the code, SURVEY.md §1). This
+module implements it: a small stdlib-only threaded HTTP server exposing
+the same three tokenization modes with the exact CLI/pipeline semantics
+(mode truth table lib.rs:271-282, content-type header lib.rs:284-294).
+
+Endpoints:
+    GET  /health            -> {"status": "ok"}
+    GET  /version           -> {"version": "..."}
+    POST /tokenize          -> request body bytes in, u16-BE token wire out
+         query params: mode=auto|passthrough (default auto: BPE when the
+                       server was started with --merges, else basic);
+                       type=text|audio|bin|video (optional header token)
+
+Run:  python -m blt_tpu.server [--port 8149] [--merges FILE] [--threads N]
+
+Requests are tokenized on the host engine (NumPy/C++ native): service
+payloads are latency-bound, where device dispatch overhead dominates —
+the same policy as the CLI's AUTO engine for small inputs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Optional, Sequence
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from blt_tpu._version import __version__
+from blt_tpu.config import ContentType
+from blt_tpu.merges import MergeTable, load_bpe_merges_from_path
+from blt_tpu.pipeline.engines import NumpyEngine
+from blt_tpu.utils.logging import configure, get_logger
+
+log = get_logger("server")
+
+
+def tokenize_bytes_wire(
+    data: bytes,
+    table: Optional[MergeTable] = None,
+    passthrough: bool = False,
+    content_type: Optional[ContentType] = None,
+    engine: Optional[NumpyEngine] = None,
+) -> bytes:
+    """In-memory bytes -> u16-BE wire stream with full pipeline semantics.
+
+    Mode truth table identical to lib.rs:271-282; the content-type header
+    is prepended for every mode (lib.rs:254-263).
+    """
+    engine = engine or NumpyEngine()
+    arr = np.frombuffer(data, dtype=np.uint8)
+    chunks = iter([arr]) if arr.size else iter(())
+    if passthrough:
+        stream = engine.passthrough_stream(chunks, arr.size)
+    elif table is not None and len(table):
+        stream = engine.bpe_stream(chunks, table, arr.size)
+    else:
+        stream = engine.basic_stream(chunks, arr.size)
+    header = (
+        content_type.token_value.to_bytes(2, "big") if content_type else b""
+    )
+    return header + b"".join(bytes(part) for part in stream)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = f"blt-tpu/{__version__}"
+    # set by serve(): table, engine
+    table: Optional[MergeTable] = None
+    engine: Optional[NumpyEngine] = None
+
+    def log_message(self, fmt, *args):  # route access logs through BLT_LOG
+        log.debug("%s %s", self.address_string(), fmt % args)
+
+    def _json(self, code: int, obj) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        path = urlparse(self.path).path
+        if path == "/health":
+            self._json(200, {"status": "ok"})
+        elif path == "/version":
+            self._json(200, {"version": __version__})
+        else:
+            self._json(404, {"error": f"unknown path {path}"})
+
+    def do_POST(self):
+        url = urlparse(self.path)
+        if url.path != "/tokenize":
+            self._json(404, {"error": f"unknown path {url.path}"})
+            return
+        params = parse_qs(url.query)
+        mode = params.get("mode", ["auto"])[0]
+        type_name = params.get("type", [None])[0]
+        if mode not in ("auto", "passthrough"):
+            self._json(400, {"error": f"unknown mode '{mode}'"})
+            return
+        content_type = None
+        if type_name is not None:
+            try:
+                content_type = ContentType.from_cli(type_name)
+            except KeyError:
+                self._json(400, {"error": f"unknown type '{type_name}'"})
+                return
+        length = int(self.headers.get("Content-Length", 0))
+        data = self.rfile.read(length) if length else b""
+        try:
+            wire = tokenize_bytes_wire(
+                data,
+                table=self.table,
+                passthrough=(mode == "passthrough"),
+                content_type=content_type,
+                engine=self.engine,
+            )
+        except Exception as e:  # tokenization failure -> 500, not a crash
+            log.error("tokenize failed: %s", e)
+            self._json(500, {"error": str(e)})
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "application/octet-stream")
+        self.send_header("Content-Length", str(len(wire)))
+        self.end_headers()
+        self.wfile.write(wire)
+
+
+def make_server(
+    host: str = "127.0.0.1",
+    port: int = 8149,
+    merges_path: Optional[Path] = None,
+    threads: int = 0,
+) -> ThreadingHTTPServer:
+    """Build a ready-to-serve HTTP server (port 0 = ephemeral, for tests)."""
+    table = None
+    if merges_path is not None:
+        table = MergeTable.build(load_bpe_merges_from_path(merges_path))
+    handler = type(
+        "BoundHandler",
+        (_Handler,),
+        {"table": table, "engine": NumpyEngine(threads)},
+    )
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    configure()
+    p = argparse.ArgumentParser(
+        prog="blt-serve", description="HTTP tokenization service"
+    )
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8149)
+    p.add_argument("--merges", metavar="FILE", default=None,
+                   help="BPE merges file (server tokenizes in BPE mode)")
+    p.add_argument("--threads", type=int, default=0,
+                   help="Host engine worker threads (0 = auto)")
+    args = p.parse_args(argv)
+    try:
+        server = make_server(
+            args.host, args.port,
+            Path(args.merges) if args.merges else None, args.threads,
+        )
+    except (OSError, ValueError) as e:
+        print(f"Error starting server: {e}", file=sys.stderr)
+        return 1
+    log.info("Serving on %s:%d", *server.server_address[:2])
+    print(f"blt-tpu serving on http://{args.host}:{server.server_address[1]}",
+          file=sys.stderr)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,81 @@
+"""HTTP tokenization service tests.
+
+The REST API is listed in the reference's architecture diagram and roadmap
+but never implemented there (SURVEY.md §1); here it exists and must match
+the pipeline semantics exactly (oracle ground truth).
+"""
+
+import http.client
+import threading
+
+import pytest
+
+from blt_tpu.ops.bpe_oracle import bpe_encode_oracle, tokens_to_be_bytes
+from blt_tpu.server import make_server, tokenize_bytes_wire
+
+
+@pytest.fixture(scope="module")
+def server_bpe(tmp_path_factory):
+    mp = tmp_path_factory.mktemp("srv") / "merges.txt"
+    mp.write_text("97 98\n")
+    srv = make_server(port=0, merges_path=mp)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address
+    srv.shutdown()
+    srv.server_close()
+
+
+def _request(addr, method, path, body=b""):
+    conn = http.client.HTTPConnection(*addr, timeout=10)
+    conn.request(method, path, body=body)
+    r = conn.getresponse()
+    data = r.read()
+    conn.close()
+    return r.status, data
+
+
+def test_health_and_version(server_bpe):
+    import blt_tpu
+
+    status, body = _request(server_bpe, "GET", "/health")
+    assert status == 200 and b"ok" in body
+    status, body = _request(server_bpe, "GET", "/version")
+    assert status == 200 and blt_tpu.__version__.encode() in body
+
+
+def test_tokenize_bpe_exact(server_bpe):
+    payload = b"ab c ab"
+    status, wire = _request(server_bpe, "POST", "/tokenize", payload)
+    assert status == 200
+    expected = tokens_to_be_bytes(bpe_encode_oracle(payload, {(97, 98): 256}))
+    assert wire == expected  # [256, 32, 99, 32, 256] BE (tests/cli.rs:107-140)
+
+
+def test_tokenize_passthrough_with_type(server_bpe):
+    status, wire = _request(
+        server_bpe, "POST", "/tokenize?mode=passthrough&type=bin", b"raw"
+    )
+    assert status == 200
+    assert wire == b"\xff\x03raw"
+
+
+def test_tokenize_empty_body(server_bpe):
+    status, wire = _request(server_bpe, "POST", "/tokenize?type=text", b"")
+    assert status == 200
+    assert wire == b"\xff\x01"
+
+
+def test_bad_params(server_bpe):
+    status, _ = _request(server_bpe, "POST", "/tokenize?mode=warp", b"x")
+    assert status == 400
+    status, _ = _request(server_bpe, "POST", "/tokenize?type=smell", b"x")
+    assert status == 400
+    status, _ = _request(server_bpe, "GET", "/nope")
+    assert status == 404
+
+
+def test_wire_helper_basic_matches_oracle():
+    data = bytes(range(256))
+    wire = tokenize_bytes_wire(data)
+    assert wire == tokens_to_be_bytes(bpe_encode_oracle(data, {}))
