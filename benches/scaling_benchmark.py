@@ -99,9 +99,9 @@ def main() -> None:
         step = jax.jit(
             sharded_flat_encode,
             in_shardings=(rows, vec, rep),
-            out_shardings=(rows, vec),
+            out_shardings=(rows, vec, rep),
         )
-        tokens, counts_out = step(batch_d, lengths_d, dense_d)
+        tokens, counts_out, _ = step(batch_d, lengths_d, dense_d)
         jax.block_until_ready((tokens, counts_out))
         # spot-check row 0 against the host oracle
         got = np.asarray(tokens)[0][: int(np.asarray(counts_out)[0])]
@@ -110,7 +110,7 @@ def main() -> None:
 
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            tokens, counts_out = step(batch_d, lengths_d, dense_d)
+            tokens, counts_out, _ = step(batch_d, lengths_d, dense_d)
         jax.block_until_ready((tokens, counts_out))
         dt = time.perf_counter() - t0
         total = n_dev * per_dev * args.iters

@@ -46,8 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Max RAM usage fraction (e.g., 70 for 70%%)")
     p.add_argument("--chunksize", metavar="SIZE", default=None,
                    help="Min/Max chunk size (e.g. 4MB, 256KB).")
-    p.add_argument("--engine", default="auto", choices=["auto", "jax", "numpy"],
-                   help="Compute backend (default: auto)")
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "jax", "numpy", "shard"],
+                   help="Compute backend (default: auto; shard = all devices "
+                        "of a multi-chip mesh)")
     p.add_argument("--version", action="version", version=f"blt {__version__}")
     return p
 

@@ -70,6 +70,10 @@ class Engine(enum.Enum):
     AUTO = "auto"
     JAX = "jax"
     NUMPY = "numpy"
+    # All devices of a multi-chip slice via a row-sharded data-parallel
+    # mesh (pipeline.engines.ShardedJaxEngine); AUTO picks this by itself
+    # whenever more than one device is visible.
+    SHARD = "shard"
 
 
 @dataclass

@@ -52,7 +52,10 @@ def _row_phase1(row: jnp.ndarray, length: jnp.ndarray, next_byte: jnp.ndarray,
     def carry_out(carry_in):
         lz = jnp.maximum(lnm, jnp.int32(-1) - carry_in)
         s_last = match[last_i] & (((last_i - lz[last_i]) & 1) == 1)
-        return jnp.where(length > 0, s_last & (next_byte >= 0), False)
+        # empty rows are identity transfers: a pending consumed-byte flag
+        # passes through them to the next non-empty row (possibly in the
+        # next batch) — they contribute no bytes of their own.
+        return jnp.where(length > 0, s_last & (next_byte >= 0), carry_in != 0)
 
     return t, pv, match, lnm, carry_out(jnp.int32(0)), carry_out(jnp.int32(1))
 
@@ -87,33 +90,48 @@ def sharded_flat_encode(
     batch: jnp.ndarray,  # uint8[B, N], rows = consecutive corpus chunks
     lengths: jnp.ndarray,  # int32[B]
     dense: jnp.ndarray,  # int32[65536], replicated
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact flat BPE over a row-sharded batch; returns (tokens[B,N], counts[B]).
+    carry_in: jnp.ndarray | bool = False,  # did the previous batch's final
+    #   byte start a merge (consuming this batch's first byte)?
+    next_byte_last: jnp.ndarray | int = -1,  # first byte of the NEXT batch
+    #   (-1 at EOF), pairing the final valid byte across batch boundaries
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Exact flat BPE over a row-sharded batch.
 
-    Output rows concatenated in order (each trimmed to its count) are
-    bit-equal to single-sequence encoding of the concatenated input rows.
+    Returns (tokens[B,N], counts[B], carry_out). Output rows concatenated
+    in order (each trimmed to its count) are bit-equal to single-sequence
+    encoding of the concatenated input rows; threading ``carry_out`` into
+    the next call's ``carry_in`` (with ``next_byte_last`` lookahead)
+    extends that equality across an arbitrarily long stream of batches —
+    the multi-chip generalization of the single-device kernel's carry
+    protocol (ops/bpe_pallas.py).
     """
     b, n = batch.shape
-    # one-byte halo: first byte of the next row (EOF for the last row)
+    carry_in = jnp.asarray(carry_in, jnp.bool_)
+    next_byte_last = jnp.asarray(next_byte_last, jnp.int32)
+    # one-byte halo: first byte of the next non-empty row. Rows are filled
+    # front-to-back, so an empty next row means every later row is empty
+    # too and the stream continues at the next BATCH's first byte
+    # (next_byte_last; -1 at EOF).
     first_bytes = batch[:, 0].astype(jnp.int32)
-    next_bytes = jnp.concatenate([first_bytes[1:], jnp.array([-1], jnp.int32)])
-    next_bytes = jnp.where(
-        jnp.concatenate([lengths[1:], jnp.array([0], jnp.int32)]) > 0,
-        next_bytes,
-        -1,
-    )
+    nb = jnp.concatenate([first_bytes[1:], jnp.zeros((1,), jnp.int32)])
+    nl = jnp.concatenate([lengths[1:], jnp.zeros((1,), jnp.int32)])
+    next_bytes = jnp.where(nl > 0, nb, next_byte_last)
 
     t, pv, match, lnm, co0, co1 = jax.vmap(
         _row_phase1, in_axes=(0, 0, 0, None)
     )(batch, lengths, next_bytes, dense)
 
     # prefix-compose the per-row transfer functions; carry_in[r] applies the
-    # composition of rows 0..r-1 to the initial False.
-    pref0, _ = jax.lax.associative_scan(_compose_carry, (co0, co1))
-    carry_in = jnp.concatenate([jnp.array([False]), pref0[:-1]])
+    # composition of rows 0..r-1 to the batch-level carry_in.
+    pref0, pref1 = jax.lax.associative_scan(_compose_carry, (co0, co1))
+    pref_at = jnp.where(carry_in, pref1, pref0)
+    row_carry_in = jnp.concatenate([carry_in[None], pref_at[:-1]])
+    carry_out = pref_at[-1]
 
-    tokens, counts = jax.vmap(_row_phase2)(t, pv, match, lnm, lengths, carry_in)
-    return tokens, counts
+    tokens, counts = jax.vmap(_row_phase2)(
+        t, pv, match, lnm, lengths, row_carry_in
+    )
+    return tokens, counts, carry_out
 
 
 @jax.jit

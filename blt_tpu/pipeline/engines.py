@@ -349,6 +349,125 @@ class JaxEngine:
             yield self._drain_bpe(pending)
 
 
+class ShardedJaxEngine(JaxEngine):
+    """Multi-chip engine: row-sharded batches over a 1-D device mesh.
+
+    The pipeline-level integration of parallel.sharded: each feed batch is
+    laid out as (n_devices, row_bytes) rows sharded over the mesh's data
+    axis, the merges table is replicated, cross-row AND cross-batch BPE
+    stitching is exact via the carry-composition scan + threaded batch
+    carry (the multi-chip analog of the reference's in-order shard
+    assembler, pipeline.rs:153-168). Non-flat tables keep the per-chunk
+    reference semantics and run on the single-device paths.
+    """
+
+    name = "shard"
+
+    def __init__(self, mesh=None, depth: int = 2):
+        super().__init__(depth=depth)
+        from blt_tpu.parallel.mesh import (
+            make_mesh,
+            replicated,
+            row_sharding,
+            vec_sharding,
+        )
+
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_rows = int(self.mesh.devices.size)
+        self._row_sh = row_sharding(self.mesh)
+        self._vec_sh = vec_sharding(self.mesh)
+        self._rep_sh = replicated(self.mesh)
+
+    def _layout(self, chunk: np.ndarray, row_bytes: int):
+        """Fill a (n_rows, row_bytes) batch front-to-back + per-row lengths."""
+        b = self.n_rows
+        batch = np.zeros((b, row_bytes), np.uint8)
+        lengths = np.zeros(b, np.int32)
+        n = chunk.shape[0]
+        for r in range(b):
+            row = chunk[r * row_bytes : (r + 1) * row_bytes]
+            batch[r, : row.shape[0]] = row
+            lengths[r] = row.shape[0]
+            if (r + 1) * row_bytes >= n:
+                break
+        return (
+            self._jax.device_put(batch, self._row_sh),
+            self._jax.device_put(lengths, self._vec_sh),
+            lengths,
+        )
+
+    def _row_bytes(self, chunk_hint: int) -> int:
+        return align_up(-(-chunk_hint // self.n_rows))
+
+    def basic_stream(
+        self, chunks: Iterable[np.ndarray], chunk_hint: int
+    ) -> Iterator[bytes]:
+        from blt_tpu.parallel.sharded import sharded_basic_encode
+
+        row_bytes = self._row_bytes(chunk_hint)
+        pending = collections.deque()
+
+        def drain() -> bytes:
+            out, lengths = pending.popleft()
+            host = np.asarray(out)
+            return b"".join(
+                host[r, : lengths[r]].tobytes() for r in range(self.n_rows)
+            )
+
+        for chunk in chunks:
+            if chunk.shape[0] == 0:
+                continue
+            batch_d, _, lengths = self._layout(chunk, row_bytes)
+            pending.append((sharded_basic_encode(batch_d), lengths))
+            if len(pending) > self.depth:
+                yield drain()
+        while pending:
+            yield drain()
+
+    def _bpe_flat_stream(
+        self, chunks: Iterable[np.ndarray], table: MergeTable, chunk_hint: int
+    ) -> Iterator[bytes]:
+        from blt_tpu.parallel.sharded import sharded_flat_encode
+
+        row_bytes = self._row_bytes(chunk_hint)
+        dense_d = self._jax.device_put(table.dense, self._rep_sh)
+        jnp = self._jax.numpy
+        pending = collections.deque()
+        carry = jnp.asarray(False)  # replaced by device scalars per batch
+
+        def drain() -> bytes:
+            tokens_dev, counts_dev, lengths = pending.popleft()
+            tokens_h = np.asarray(tokens_dev)
+            counts_h = np.asarray(counts_dev)
+            return b"".join(
+                tokens_h[r, : counts_h[r]].astype(">u2").tobytes()
+                for r in range(self.n_rows)
+                if lengths[r]
+            )
+
+        prev: Optional[np.ndarray] = None
+        for chunk in chunks:
+            if chunk.shape[0] == 0:
+                continue
+            if prev is not None:
+                batch_d, lengths_d, lengths = self._layout(prev, row_bytes)
+                tokens, counts, carry = sharded_flat_encode(
+                    batch_d, lengths_d, dense_d, carry, jnp.int32(chunk[0])
+                )
+                pending.append((tokens, counts, lengths))
+                if len(pending) > self.depth:
+                    yield drain()
+            prev = chunk
+        if prev is not None:
+            batch_d, lengths_d, lengths = self._layout(prev, row_bytes)
+            tokens, counts, _ = sharded_flat_encode(
+                batch_d, lengths_d, dense_d, carry, jnp.int32(-1)
+            )
+            pending.append((tokens, counts, lengths))
+        while pending:
+            yield drain()
+
+
 def select_engine(engine_pref, input_size: Optional[int], threads: int = 0):
     """AUTO: device engine for large inputs on an accelerator, else NumPy.
 
@@ -361,6 +480,8 @@ def select_engine(engine_pref, input_size: Optional[int], threads: int = 0):
         return NumpyEngine(threads)
     if engine_pref == Engine.JAX:
         return JaxEngine()
+    if engine_pref == Engine.SHARD:
+        return ShardedJaxEngine()
     # AUTO: unknown-size streams and small files stay on the host engine
     # (device dispatch latency dominates); force --engine jax to override.
     threshold = 32 * 1024 * 1024
@@ -371,6 +492,9 @@ def select_engine(engine_pref, input_size: Optional[int], threads: int = 0):
 
         backend = jax.default_backend()
         if backend in ("tpu", "gpu", "cuda", "rocm", "axon"):
+            # every chip of a multi-chip slice by default
+            if jax.device_count() > 1:
+                return ShardedJaxEngine()
             return JaxEngine()
     except Exception as e:  # pragma: no cover - broken accelerator runtime
         log.warning("accelerator probe failed (%s); using NumPy engine", e)

@@ -54,7 +54,7 @@ def test_sharded_flat_encode_exact(mesh):
     lengths_d = jax.device_put(lengths, vec_sharding(mesh))
     dense_d = jax.device_put(table.dense, replicated(mesh))
 
-    tokens, counts = sharded_flat_encode(batch_d, lengths_d, dense_d)
+    tokens, counts, _ = sharded_flat_encode(batch_d, lengths_d, dense_d)
     tokens_h, counts_h = np.asarray(tokens), np.asarray(counts)
     got = np.concatenate([tokens_h[r, : counts_h[r]] for r in range(b)])
     expected = bpe_numpy.bpe_encode_flat(corpus, table)
@@ -68,7 +68,7 @@ def test_sharded_flat_encode_adversarial_runs(mesh):
     # odd total length forces a trailing unmerged byte
     corpus = np.full(b * n - 1, 97, np.uint8)
     batch, lengths = make_batch(corpus, b, n)
-    tokens, counts = sharded_flat_encode(
+    tokens, counts, _ = sharded_flat_encode(
         jax.device_put(batch, row_sharding(mesh)),
         jax.device_put(lengths, vec_sharding(mesh)),
         jax.device_put(table.dense, replicated(mesh)),
@@ -203,3 +203,56 @@ def test_train_checkpoint_resume(tmp_path):
     m3, n3, t3, l3 = load_checkpoint(ckpt)
     assert m3 == merges2 and n3 == new_id2
     assert np.array_equal(t3, tok) and np.array_equal(l3, lens)
+
+
+def test_sharded_engine_pipeline_exact(tmp_path):
+    """CLI-level --engine shard: file->file over the 8-device mesh must be
+    byte-identical to the host engine, across multiple device batches
+    (exercising the threaded batch carry) and a ragged final batch."""
+    from blt_tpu.config import CoreConfig, Engine
+    from blt_tpu.pipeline.runner import run_tokenizer
+
+    rng = np.random.default_rng(11)
+    # > 2 device batches (conftest sets BLT_DEVICE_BATCH_BYTES=256KB) with a
+    # ragged tail; 'a'-heavy so parity chains cross row and batch edges
+    corpus = rng.choice(
+        np.frombuffer(b"abcabcaabbccaaaa", np.uint8), size=700_001
+    ).tobytes()
+    ip = tmp_path / "in.bin"
+    ip.write_bytes(corpus)
+    mp = tmp_path / "merges.txt"
+    mp.write_text("97 98\n98 99\n99 97\n97 97\n")
+
+    for merges in (None, mp):
+        outs = {}
+        for engine in (Engine.NUMPY, Engine.SHARD):
+            op = tmp_path / f"out_{engine.value}.bin"
+            run_tokenizer(
+                CoreConfig.new_from_cli(
+                    input=ip, output=op, merges=merges, engine=engine
+                )
+            )
+            outs[engine] = op.read_bytes()
+        assert outs[Engine.SHARD] == outs[Engine.NUMPY], (
+            f"shard/host mismatch (merges={merges is not None})"
+        )
+
+
+def test_sharded_engine_all_a_adversarial(tmp_path):
+    """All-'aa' stream: every row and batch boundary carries a pending
+    merge; output must equal the single-sequence host encode."""
+    from blt_tpu.config import CoreConfig, Engine
+    from blt_tpu.pipeline.runner import run_tokenizer
+
+    corpus = b"a" * 600_001  # odd: trailing unmerged byte
+    ip = tmp_path / "in.bin"
+    ip.write_bytes(corpus)
+    mp = tmp_path / "merges.txt"
+    mp.write_text("97 97\n")
+    op1 = tmp_path / "shard.bin"
+    op2 = tmp_path / "host.bin"
+    run_tokenizer(CoreConfig.new_from_cli(
+        input=ip, output=op1, merges=mp, engine=Engine.SHARD))
+    run_tokenizer(CoreConfig.new_from_cli(
+        input=ip, output=op2, merges=mp, engine=Engine.NUMPY))
+    assert op1.read_bytes() == op2.read_bytes()
