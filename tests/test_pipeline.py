@@ -198,3 +198,18 @@ def test_profile_trace_written(tmp_path, monkeypatch):
     # jax.profiler.trace writes plugins/profile/<run>/ under the log dir
     produced = list(prof.rglob("*.xplane.pb"))
     assert produced, f"no xplane trace under {prof}"
+
+
+def test_e2e_fuzz_bounded():
+    """Bounded slice of the end-to-end differential fuzzer
+    (tools/fuzz_e2e.py): random tables/corpora/chunk sizes/headers through
+    the real pipeline on all three engines, vs the oracle."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import fuzz_e2e
+
+    rng = np.random.default_rng(42)
+    for t in range(6):
+        fuzz_e2e.one_trial(rng, t, max_bytes=60_000)

@@ -1,0 +1,147 @@
+"""End-to-end differential fuzzer: pipeline output vs the semantics oracle.
+
+Random corpora x random merge tables (flat and hierarchical) x random
+chunk sizes x engines (numpy / jax / shard) x optional content-type
+headers, all through the real ``run_tokenizer`` file path. Ground truth
+is the pure-Python oracle (blt_tpu/ops/bpe_oracle.py, a literal
+transcription of reference tokenizer.rs semantics); flat tables must be
+chunk-size-invariant, general tables are compared per-chunk (the
+reference's own chunked behavior, SURVEY.md 2.1.6).
+
+Usage: python tools/fuzz_e2e.py [--trials 50] [--seed 0] [--max-bytes 200000]
+A bounded version runs in CI as tests/test_pipeline.py::test_e2e_fuzz.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_table(rng: np.random.Generator, hierarchical: bool):
+    n_rules = int(rng.integers(0, 40))
+    merges = {}
+    vocab = 256
+    for _ in range(n_rules):
+        a = int(rng.integers(0, 256))
+        b = int(rng.integers(0, 256))
+        merges[(a, b)] = vocab
+        vocab += 1
+    if hierarchical and merges:
+        # add rules whose keys reference merged values (multi-pass only)
+        for _ in range(int(rng.integers(1, 6))):
+            existing = list(merges.values())
+            a = int(rng.choice(existing))
+            b = int(rng.integers(0, 256))
+            merges[(a, b)] = vocab
+            vocab += 1
+    return merges
+
+
+def make_corpus(rng: np.random.Generator, merges, max_bytes: int) -> bytes:
+    n = int(rng.integers(0, max_bytes))
+    if not merges or rng.random() < 0.2:
+        return rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+    # bias towards rule bytes so merges actually fire, with long runs
+    pool = [a for (a, _b) in merges] + [b for (_a, b) in merges]
+    alphabet = np.array(sorted(set(pool))[:16] or [97], dtype=np.uint8)
+    out = rng.choice(alphabet, size=n).astype(np.uint8)
+    if n > 10 and rng.random() < 0.5:  # adversarial run of one byte
+        k = int(rng.integers(2, n // 2))
+        out[:k] = alphabet[0]
+    return out.tobytes()
+
+
+def one_trial(rng: np.random.Generator, trial: int, max_bytes: int) -> None:
+    from blt_tpu.config import ContentType, CoreConfig, Engine
+    from blt_tpu.merges import MergeTable
+    from blt_tpu.ops.bpe_oracle import bpe_encode_oracle, tokens_to_be_bytes
+    from blt_tpu.pipeline.runner import run_tokenizer
+
+    hierarchical = rng.random() < 0.3
+    merges = make_table(rng, hierarchical)
+    table = MergeTable.build(merges) if merges else None
+    flat = table.flat if table else True
+    data = make_corpus(rng, merges, max_bytes)
+    ct = [ContentType.TEXT, ContentType.BIN, None][int(rng.integers(0, 3))]
+    chunksize = f"{int(rng.choice([256, 300, 512, 1024]))}KB"
+
+    header = ct.token_value.to_bytes(2, "big") if ct else b""
+    if flat:
+        expected = header + tokens_to_be_bytes(bpe_encode_oracle(data, merges))
+    else:
+        # general tables: per-chunk reference semantics at the effective
+        # chunk size (pipeline feeds exactly effective-chunk batches)
+        from blt_tpu.utils.chunking import get_effective_chunk_size
+        from blt_tpu.utils.parsing import parse_chunk_size_str
+
+        eff = get_effective_chunk_size(parse_chunk_size_str(chunksize), 1, None)
+        parts = [
+            tokens_to_be_bytes(
+                bpe_encode_oracle(data[i : i + eff], merges)
+            )
+            for i in range(0, len(data), eff)
+        ]
+        expected = header + b"".join(parts)
+
+    engines = [Engine.NUMPY, Engine.JAX, Engine.SHARD]
+    with tempfile.TemporaryDirectory() as td:
+        ip = os.path.join(td, "in.bin")
+        with open(ip, "wb") as f:
+            f.write(data)
+        for engine in engines:
+            op = os.path.join(td, f"out.{engine.value}")
+            config = CoreConfig.new_from_cli(
+                input=ip,
+                output=op,
+                content_type=ct,
+                chunksize=chunksize,
+                engine=engine,
+            )
+            if merges:
+                config.with_merges(merges)
+            run_tokenizer(config)
+            with open(op, "rb") as f:
+                got = f.read()
+            assert got == expected, (
+                f"trial {trial} engine={engine.value} flat={flat} "
+                f"n={len(data)} rules={len(merges)} ct={ct} "
+                f"chunk={chunksize}: {len(got)} vs {len(expected)} bytes"
+            )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trials", type=int, default=50)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--max-bytes", type=int, default=200_000)
+    args = ap.parse_args()
+
+    os.environ.setdefault("BLT_DEVICE_BATCH_BYTES", str(128 * 1024))
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    rng = np.random.default_rng(args.seed)
+    for t in range(args.trials):
+        one_trial(rng, t, args.max_bytes)
+        if (t + 1) % 10 == 0:
+            print(f"{t + 1}/{args.trials} trials ok", file=sys.stderr)
+    print(f"fuzz: {args.trials} trials passed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
