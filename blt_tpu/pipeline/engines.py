@@ -467,6 +467,68 @@ class ShardedJaxEngine(JaxEngine):
         while pending:
             yield drain()
 
+    def _bpe_multipass_stream(
+        self, chunks: Iterable[np.ndarray], table: MergeTable, chunk_hint: int
+    ) -> Iterator[bytes]:
+        """General (hierarchical) tables, row-parallel over the mesh.
+
+        Chunks are independent in this mode (the reference's own per-chunk
+        semantics, SURVEY.md 2.1.6), so groups of n_devices chunks run as
+        one row-sharded vmapped multipass — every mode uses every chip.
+        """
+        from blt_tpu.ops import bpe_jax
+
+        jax = self._jax
+        jnp = jax.numpy
+        keys, vals = bpe_jax.sparse_table_device(table)
+        keys = jax.device_put(keys, self._rep_sh)
+        vals = jax.device_put(vals, self._rep_sh)
+        n_static = align_up(chunk_hint)
+        b = self.n_rows
+        vmapped = jax.jit(
+            jax.vmap(bpe_jax.multipass_encode, in_axes=(0, 0, None, None))
+        )
+        group: list = []
+        pending = collections.deque()
+
+        def flush():
+            if not group:
+                return
+            batch = np.zeros((b, n_static), np.uint8)
+            lengths = np.zeros(b, np.int32)
+            for r, chunk in enumerate(group):
+                batch[r, : chunk.shape[0]] = chunk
+                lengths[r] = chunk.shape[0]
+            toks, counts = vmapped(
+                jax.device_put(batch, self._row_sh),
+                jax.device_put(lengths, self._vec_sh),
+                keys,
+                vals,
+            )
+            pending.append((toks, counts, len(group)))
+            group.clear()
+
+        def drain() -> bytes:
+            toks_d, counts_d, nrows = pending.popleft()
+            toks_h = np.asarray(toks_d)
+            counts_h = np.asarray(counts_d)
+            return b"".join(
+                toks_h[r, : counts_h[r]].astype(">u2").tobytes()
+                for r in range(nrows)
+            )
+
+        for chunk in chunks:
+            if chunk.shape[0] == 0:
+                continue
+            group.append(chunk)
+            if len(group) == b:
+                flush()
+                if len(pending) > self.depth:
+                    yield drain()
+        flush()
+        while pending:
+            yield drain()
+
 
 def select_engine(engine_pref, input_size: Optional[int], threads: int = 0):
     """AUTO: device engine for large inputs on an accelerator, else NumPy.

@@ -256,3 +256,31 @@ def test_sharded_engine_all_a_adversarial(tmp_path):
     run_tokenizer(CoreConfig.new_from_cli(
         input=ip, output=op2, merges=mp, engine=Engine.NUMPY))
     assert op1.read_bytes() == op2.read_bytes()
+
+
+def test_sharded_engine_hierarchical_multipass(tmp_path):
+    """General (non-flat) tables in the shard engine run row-parallel over
+    the mesh with per-chunk reference semantics: output must equal the host
+    engine at the same chunk size."""
+    from blt_tpu.config import CoreConfig, Engine
+    from blt_tpu.pipeline.runner import run_tokenizer
+
+    rng = np.random.default_rng(5)
+    corpus = rng.choice(
+        np.frombuffer(b"abcabcdeab", np.uint8), size=700_000
+    ).tobytes()
+    ip = tmp_path / "in.bin"
+    ip.write_bytes(corpus)
+    merges = {(97, 98): 256, (256, 99): 257, (257, 100): 258}  # hierarchical
+
+    outs = {}
+    for engine in (Engine.NUMPY, Engine.SHARD):
+        op = tmp_path / f"out_{engine.value}.bin"
+        cfg = CoreConfig.new_from_cli(
+            input=ip, output=op, chunksize="256KB", engine=engine
+        )
+        cfg.with_merges(merges)
+        run_tokenizer(cfg)
+        outs[engine] = op.read_bytes()
+    assert outs[Engine.SHARD] == outs[Engine.NUMPY]
+    assert len(outs[Engine.SHARD]) > 0
