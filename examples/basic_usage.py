@@ -101,6 +101,24 @@ def demo_training():
         print(open(path).read().rstrip())
 
 
+def demo_server():
+    print("\n=== HTTP service (the reference's unimplemented REST API) ===")
+    import http.client
+    import threading
+
+    from blt_tpu.server import make_server
+
+    srv = make_server(port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    conn = http.client.HTTPConnection(*srv.server_address, timeout=5)
+    conn.request("POST", "/tokenize?type=text", body=b"hi")
+    wire = conn.getresponse().read()
+    conn.close()
+    srv.shutdown()
+    srv.server_close()
+    print(f"POST /tokenize?type=text 'hi' -> {wire.hex(' ')}")
+
+
 def main():
     print(f"blt_tpu version: {blt.version()}")
     demo_basic()
@@ -109,6 +127,7 @@ def main():
     demo_in_memory_values()
     demo_hierarchical()
     demo_training()
+    demo_server()
     print("\nall examples completed")
 
 
