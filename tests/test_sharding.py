@@ -284,3 +284,43 @@ def test_sharded_engine_hierarchical_multipass(tmp_path):
         outs[engine] = op.read_bytes()
     assert outs[Engine.SHARD] == outs[Engine.NUMPY]
     assert len(outs[Engine.SHARD]) > 0
+
+
+def test_sharded_engine_stream_short_reads_carry(tmp_path, monkeypatch):
+    """stdin stream with short reads: intermediate batches get empty
+    trailing rows, and an all-'a' corpus forces a pending merge carry to
+    pass THROUGH those empty rows into the next batch (identity transfer
+    functions). Output must equal the host engine on the same bytes."""
+    import io
+    import sys
+
+    from blt_tpu.config import CoreConfig, Engine
+    from blt_tpu.pipeline.runner import run_tokenizer
+
+    data = b"a" * 300_001  # odd -> trailing unmerged byte at EOF
+
+    class ShortStdin:
+        def __init__(self, raw, maxread):
+            self.buf = io.BytesIO(raw)
+            self.maxread = maxread
+
+        def read(self, n):
+            return self.buf.read(min(n, self.maxread))
+
+    # 70_001-byte short reads: odd chunk lengths, so nearly every row AND
+    # batch boundary lands mid-'aa'-pair
+    monkeypatch.setattr(
+        sys, "stdin", type("S", (), {"buffer": ShortStdin(data, 70_001)})()
+    )
+    mp = tmp_path / "m.txt"
+    mp.write_text("97 97\n")
+    op1 = tmp_path / "shard.bin"
+    run_tokenizer(CoreConfig.new_from_cli(
+        input=None, output=op1, merges=mp, engine=Engine.SHARD))
+
+    ip = tmp_path / "in.bin"
+    ip.write_bytes(data)
+    op2 = tmp_path / "host.bin"
+    run_tokenizer(CoreConfig.new_from_cli(
+        input=ip, output=op2, merges=mp, engine=Engine.NUMPY))
+    assert op1.read_bytes() == op2.read_bytes()
