@@ -4,8 +4,9 @@ The TPU does the tokenization math; this library keeps the host side
 (basic-mode widening, passthrough copies, and the CPU fallback BPE scan)
 at multithreaded memory bandwidth — the stand-in for the reference's
 Rust+Tokio pipeline (reference: blt_core/src/pipeline.rs, io_handler.rs).
-Optional: callers fall back to NumPy when the .so has not been built
-(python -m blt_tpu.native.build).
+The library self-builds on first load when g++ is available (disable
+with BLT_NATIVE_BUILD=0); callers fall back to NumPy when it cannot be
+built (python -m blt_tpu.native.build builds it explicitly).
 """
 
 from __future__ import annotations
@@ -26,6 +27,10 @@ def load() -> Optional[ctypes.CDLL]:
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib
+    if not os.path.exists(_LIB_PATH):
+        from blt_tpu.native.build import ensure_built
+
+        ensure_built()
     if not os.path.exists(_LIB_PATH):
         _load_failed = True
         return None

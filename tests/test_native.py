@@ -11,8 +11,25 @@ from blt_tpu.ops.bpe_numpy import bpe_encode_flat
 from blt_tpu.ops.bpe_pallas import filter_slots
 
 pytestmark = pytest.mark.skipif(
-    not native.available(), reason="libbltnative.so not built"
+    not native.available(), reason="libbltnative.so could not be built"
 )
+
+
+def test_ensure_built_self_builds(tmp_path, monkeypatch):
+    """A fresh checkout self-builds the .so on first load (atomic rename)."""
+    from blt_tpu.native import build as nb
+
+    out = nb.ensure_built()
+    assert out is not None and out.endswith("libbltnative.so")
+    # stale .so (older than source) triggers a rebuild
+    import os
+
+    os.utime(out, (0, 0))
+    assert nb.ensure_built() == out
+    assert os.path.getmtime(out) >= os.path.getmtime(nb.SRC)
+    # BLT_NATIVE_BUILD=0 suppresses building but keeps an existing lib
+    monkeypatch.setenv("BLT_NATIVE_BUILD", "0")
+    assert nb.ensure_built() == out
 
 
 def test_widen_be():
