@@ -24,6 +24,32 @@ from typing import Optional, Sequence
 from blt_tpu._version import __version__
 
 
+def _u8(value: str) -> int:
+    """clap-style u8 parse for --memcap (reference: src/main.rs:48-52).
+
+    The reference CLI types memcap as u8, so 300 / -1 are rejected at parse
+    time ("invalid value ... for '--memcap <PERCENT>'").
+    """
+    try:
+        n = int(value)
+    except ValueError:
+        raise argparse.ArgumentTypeError(f"invalid digit found in string: {value!r}")
+    if not 0 <= n <= 255:
+        raise argparse.ArgumentTypeError(f"{n} is not in 0..=255")
+    return n
+
+
+def _usize(value: str) -> int:
+    """clap-style usize parse for --threads (reference: src/main.rs:44-46)."""
+    try:
+        n = int(value)
+    except ValueError:
+        raise argparse.ArgumentTypeError(f"invalid digit found in string: {value!r}")
+    if n < 0:
+        raise argparse.ArgumentTypeError(f"{n} is negative (expected usize)")
+    return n
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="blt",
@@ -40,9 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--type", dest="content_type", default=None,
                    choices=["text", "audio", "bin", "video"],
                    help="Prepend content-type token")
-    p.add_argument("--threads", metavar="NUM", type=int, default=None,
+    p.add_argument("--threads", metavar="NUM", type=_usize, default=None,
                    help="Override worker count (default: auto based on cores)")
-    p.add_argument("--memcap", metavar="PERCENT", type=int, default=None,
+    p.add_argument("--memcap", metavar="PERCENT", type=_u8, default=None,
                    help="Max RAM usage fraction (e.g., 70 for 70%%)")
     p.add_argument("--chunksize", metavar="SIZE", default=None,
                    help="Min/Max chunk size (e.g. 4MB, 256KB).")

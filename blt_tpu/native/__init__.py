@@ -23,19 +23,23 @@ _load_failed = False
 
 
 def load() -> Optional[ctypes.CDLL]:
-    """Load (or return cached) native library; None if unavailable."""
+    """Load (or return cached) native library; None if unavailable.
+
+    ensure_built() runs unconditionally (its fresh-path cost is one mtime
+    stat) so a stale .so left behind by a source change is rebuilt rather
+    than silently loaded.
+    """
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        from blt_tpu.native.build import ensure_built
+    from blt_tpu.native.build import ensure_built
 
-        ensure_built()
-    if not os.path.exists(_LIB_PATH):
+    lib_path = ensure_built()
+    if lib_path is None:
         _load_failed = True
         return None
     try:
-        lib = ctypes.CDLL(_LIB_PATH)
+        lib = ctypes.CDLL(lib_path)
         lib.blt_widen_be.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
         ]
@@ -70,6 +74,15 @@ def load() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return load() is not None
+
+
+def copy_into(src: np.ndarray, dst: np.ndarray, threads: int) -> None:
+    """Multithreaded copy of src into dst[:len(src)] (feeder buffer fill)."""
+    lib = load()
+    assert lib is not None
+    assert dst.shape[0] >= src.shape[0]
+    src = np.ascontiguousarray(src)
+    lib.blt_copy(src.ctypes.data, dst.ctypes.data, src.shape[0], threads)
 
 
 def widen_be(src: np.ndarray, threads: int) -> bytes:

@@ -412,34 +412,38 @@ class PallasFlatEncoder:
             return False
         return True  # cuckoo for small tables, packed-dense direct beyond
 
-    def encode(
+    @property
+    def padded_bytes(self) -> int:
+        """Host-buffer size for upload() (capacity + halo rows)."""
+        assert self.capacity, "padded_bytes requires a fixed capacity"
+        num_blocks = self.capacity // self.block
+        return (num_blocks * self.rows_per_block + 8) * LANES
+
+    def upload(self, data: np.ndarray, buf: np.ndarray, threads: int = 0):
+        """Pack ``data`` into the reusable padded host buffer and upload.
+
+        Returns (data3_dev, n). Blocks until the H2D transfer completes so
+        the caller may reuse ``buf`` immediately (the feeder-thread
+        protocol, blt_tpu/pipeline/feeder.py). Tail bytes beyond ``n`` are
+        left stale — the kernel masks every consumer of them by length.
+        """
+        from blt_tpu.pipeline.feeder import pack_into, upload_owned
+
+        n = data.shape[0]
+        assert self.capacity and n <= self.capacity
+        assert buf.shape[0] == self.padded_bytes
+        pack_into(buf, data, threads)
+        rows = self.padded_bytes // LANES
+        return upload_owned(buf.reshape(rows, LANES)), n
+
+    def encode_device(
         self,
-        data: np.ndarray,  # uint8[n]
-        carry_in,  # bool | int | device scalar from a previous carry_out
+        data3: jnp.ndarray,
+        n: int,
+        carry_in,
         next_byte: int,
     ) -> Tuple[jnp.ndarray, int, jnp.ndarray]:
-        """Run the kernel over one batch.
-
-        Returns (token_slots uint16[rows,128], n_valid_slots, carry_out)
-        where carry_out is a (1,1) device array passed verbatim as the next
-        batch's ``carry_in`` — the dependency stays on-device and batches
-        pipeline without a host sync or any glue ops (glue slices/reshapes
-        would each cost an uncached remote XLA compile on tunneled TPUs).
-        Flatten token slots host-side after transfer; apply the
-        drop-after-merge rule (filter_slots) over n_valid_slots slots.
-        """
-        n = data.shape[0]
-        capacity = (
-            self.capacity
-            if self.capacity
-            else -(-n // self.block) * self.block
-        )
-        assert n <= capacity, f"batch {n} exceeds encoder capacity {capacity}"
-        num_blocks = capacity // self.block
-        padded_rows = num_blocks * self.rows_per_block + 8
-        buf = np.zeros((padded_rows * LANES,), np.uint8)
-        buf[:n] = data
-        data3 = jnp.asarray(buf.reshape(padded_rows, LANES))
+        """Kernel dispatch on an already-uploaded padded batch."""
         params = jnp.asarray(
             np.array(
                 [
@@ -470,6 +474,36 @@ class PallasFlatEncoder:
             rows_per_block=self.rows_per_block,
         )
         return out, n, carry
+
+    def encode(
+        self,
+        data: np.ndarray,  # uint8[n]
+        carry_in,  # bool | int | device scalar from a previous carry_out
+        next_byte: int,
+    ) -> Tuple[jnp.ndarray, int, jnp.ndarray]:
+        """Run the kernel over one batch.
+
+        Returns (token_slots uint16[rows,128], n_valid_slots, carry_out)
+        where carry_out is a (1,1) device array passed verbatim as the next
+        batch's ``carry_in`` — the dependency stays on-device and batches
+        pipeline without a host sync or any glue ops (glue slices/reshapes
+        would each cost an uncached remote XLA compile on tunneled TPUs).
+        Flatten token slots host-side after transfer; apply the
+        drop-after-merge rule (filter_slots) over n_valid_slots slots.
+        """
+        n = data.shape[0]
+        capacity = (
+            self.capacity
+            if self.capacity
+            else -(-n // self.block) * self.block
+        )
+        assert n <= capacity, f"batch {n} exceeds encoder capacity {capacity}"
+        num_blocks = capacity // self.block
+        padded_rows = num_blocks * self.rows_per_block + 8
+        buf = np.zeros((padded_rows * LANES,), np.uint8)
+        buf[:n] = data
+        data3 = jnp.asarray(buf.reshape(padded_rows, LANES))
+        return self.encode_device(data3, n, carry_in, next_byte)
 
 
 def filter_slots(slots: np.ndarray, prev_token: int) -> Tuple[np.ndarray, int]:
@@ -856,15 +890,31 @@ class PallasBasicEncoder:
         self.capacity = -(-capacity_bytes // block) * block
         self.interpret = interpret
 
+    @property
+    def padded_bytes(self) -> int:
+        return self.capacity
+
+    def upload(self, data: np.ndarray, buf: np.ndarray, threads: int = 0):
+        """Pack + upload into a reusable host buffer (see PallasFlatEncoder)."""
+        from blt_tpu.pipeline.feeder import pack_into, upload_owned
+
+        n = data.shape[0]
+        assert n <= self.capacity and buf.shape[0] == self.capacity
+        pack_into(buf, data, threads)
+        return upload_owned(buf.reshape(self.capacity // LANES, LANES)), n
+
+    def encode_device(self, data2: jnp.ndarray, n: int):
+        out, done = basic_encode_pallas(
+            data2,
+            interpret=self.interpret,
+            rows_per_block=self.rows_per_block,
+        )
+        return out, n
+
     def encode(self, data: np.ndarray) -> Tuple[jnp.ndarray, int]:
         n = data.shape[0]
         assert n <= self.capacity
         rows = self.capacity // LANES
         buf = np.zeros((rows * LANES,), np.uint8)
         buf[:n] = data
-        out, done = basic_encode_pallas(
-            jnp.asarray(buf.reshape(rows, LANES)),
-            interpret=self.interpret,
-            rows_per_block=self.rows_per_block,
-        )
-        return out, n
+        return self.encode_device(jnp.asarray(buf.reshape(rows, LANES)), n)

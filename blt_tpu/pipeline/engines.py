@@ -129,17 +129,30 @@ class JaxEngine:
     ) -> Iterator[bytes]:
         if self._jax.default_backend() == "tpu":
             from blt_tpu.ops.bpe_pallas import PallasBasicEncoder
+            from blt_tpu.pipeline.feeder import BufferPool, prefetch_iter
 
             encoder = PallasBasicEncoder(chunk_hint)
-            pending = collections.deque()
-            for chunk in chunks:
-                if chunk.shape[0] == 0:
-                    continue
-                pending.append(encoder.encode(chunk))
-                if len(pending) > self.depth:
-                    yield self._drain_basic(pending)
-            while pending:
-                yield self._drain_basic(pending)
+            pool = BufferPool(encoder.padded_bytes, 2)
+
+            def feed():
+                for chunk in chunks:
+                    if chunk.shape[0] == 0:
+                        continue
+                    buf = pool.get()
+                    dev, n = encoder.upload(chunk, buf)
+                    pool.put(buf)
+                    yield encoder.encode_device(dev, n)
+
+            def drain(items):
+                for out, n in items:
+                    host = np.asarray(out).reshape(-1)
+                    yield host[:n].tobytes()
+
+            yield from prefetch_iter(
+                drain(prefetch_iter(feed(), self.depth, "feed")),
+                self.depth,
+                "drain",
+            )
             return
 
         from blt_tpu.ops import bpe_jax
@@ -186,59 +199,81 @@ class JaxEngine:
             from blt_tpu.ops.bpe_pallas import PallasFlatEncoder
 
             if PallasFlatEncoder.supports(table):
+                # Build the encoder EAGERLY so a construction failure (e.g.
+                # cuckoo placement) falls back to the XLA path before any
+                # output is emitted; a mid-stream failure must raise, never
+                # silently re-emit the stream through another path.
                 try:
-                    yield from self._bpe_pallas_stream(chunks, table, chunk_hint)
-                    return
+                    encoder = PallasFlatEncoder(table, capacity_bytes=chunk_hint)
                 except ValueError:
-                    pass  # cuckoo build failed; fall through to XLA path
+                    encoder = None
+                if encoder is not None:
+                    yield from self._bpe_pallas_stream(
+                        chunks, encoder, chunk_hint
+                    )
+                    return
         yield from self._bpe_xla_stream(chunks, table, chunk_hint)
 
     def _bpe_pallas_stream(
-        self, chunks: Iterable[np.ndarray], table: MergeTable, chunk_hint: int
+        self, chunks: Iterable[np.ndarray], encoder, chunk_hint: int
     ) -> Iterator[bytes]:
-        """Pallas TPU kernel path: device carries, host drop-after-merge drain."""
+        """Pallas TPU kernel path: 3-stage overlapped pipeline.
+
+        feed thread: pack into reused buffers + upload + dispatch (carry
+        chaining stays on-device and serial by construction); drain thread:
+        D2H + drop-after-merge filter. End-to-end rate is max(stage), not
+        sum(stage) — see blt_tpu/pipeline/feeder.py.
+        """
         import os
 
         from blt_tpu import native
-        from blt_tpu.ops.bpe_pallas import PallasFlatEncoder, filter_slots
+        from blt_tpu.ops.bpe_pallas import filter_slots
+        from blt_tpu.pipeline.feeder import BufferPool, prefetch_iter
 
-        encoder = PallasFlatEncoder(table, capacity_bytes=chunk_hint)
-        pending = collections.deque()
-        carry = False  # replaced by device scalars after the first batch
-        prev_tok = 0
-        prev_chunk: Optional[np.ndarray] = None
         use_native = native.available()
         threads = os.cpu_count() or 1
+        pool = BufferPool(encoder.padded_bytes, 2)
 
-        def drain() -> bytes:
-            nonlocal prev_tok
-            slots_dev, n = pending.popleft()
-            slots = np.asarray(slots_dev).reshape(-1)[:n]
-            if use_native:
-                wire, prev_tok = native.filter_slots_native(
-                    slots, prev_tok, threads
-                )
-                return wire
-            toks, prev_tok = filter_slots(slots, prev_tok)
-            # byteswapped u16: LE memory image is already the BE wire stream
-            return toks.tobytes()
+        def feed():
+            carry = False  # replaced by device scalars after the first batch
+            prev_chunk: Optional[np.ndarray] = None
 
-        for chunk in chunks:
-            if chunk.shape[0] == 0:
-                continue
+            def dispatch(data: np.ndarray, next_byte: int):
+                nonlocal carry
+                buf = pool.get()
+                dev, n = encoder.upload(data, buf, threads)
+                pool.put(buf)
+                slots, _, carry = encoder.encode_device(dev, n, carry, next_byte)
+                return slots, n
+
+            for chunk in chunks:
+                if chunk.shape[0] == 0:
+                    continue
+                if prev_chunk is not None:
+                    yield dispatch(prev_chunk, int(chunk[0]))
+                prev_chunk = chunk
             if prev_chunk is not None:
-                slots, n, carry = encoder.encode(
-                    prev_chunk, carry, int(chunk[0])
-                )
-                pending.append((slots, n))
-                if len(pending) > self.depth:
-                    yield drain()
-            prev_chunk = chunk
-        if prev_chunk is not None:
-            slots, n, carry = encoder.encode(prev_chunk, carry, -1)
-            pending.append((slots, n))
-        while pending:
-            yield drain()
+                yield dispatch(prev_chunk, -1)
+
+        def drain(items):
+            prev_tok = 0
+            for slots_dev, n in items:
+                slots = np.asarray(slots_dev).reshape(-1)[:n]
+                if use_native:
+                    wire, prev_tok = native.filter_slots_native(
+                        slots, prev_tok, threads
+                    )
+                else:
+                    toks, prev_tok = filter_slots(slots, prev_tok)
+                    # byteswapped u16: LE image is already the BE wire stream
+                    wire = toks.tobytes()
+                yield wire
+
+        yield from prefetch_iter(
+            drain(prefetch_iter(feed(), self.depth, "feed")),
+            self.depth,
+            "drain",
+        )
 
     def _bpe_xla_stream(
         self, chunks: Iterable[np.ndarray], table: MergeTable, chunk_hint: int
@@ -530,25 +565,11 @@ class ShardedJaxEngine(JaxEngine):
             yield drain()
 
 
-def select_engine(engine_pref, input_size: Optional[int], threads: int = 0):
-    """AUTO: device engine for large inputs on an accelerator, else NumPy.
+AUTO_DEVICE_THRESHOLD = 32 * 1024 * 1024
 
-    Device dispatch + compile latency dominates small inputs; the NumPy
-    engine is already at memory-bandwidth speed there.
-    """
-    from blt_tpu.config import Engine
 
-    if engine_pref == Engine.NUMPY:
-        return NumpyEngine(threads)
-    if engine_pref == Engine.JAX:
-        return JaxEngine()
-    if engine_pref == Engine.SHARD:
-        return ShardedJaxEngine()
-    # AUTO: unknown-size streams and small files stay on the host engine
-    # (device dispatch latency dominates); force --engine jax to override.
-    threshold = 32 * 1024 * 1024
-    if input_size is None or input_size < threshold:
-        return NumpyEngine(threads)
+def _probe_device_engine():
+    """The device engine for this process, or None (no accelerator)."""
     try:
         import jax
 
@@ -560,4 +581,81 @@ def select_engine(engine_pref, input_size: Optional[int], threads: int = 0):
             return JaxEngine()
     except Exception as e:  # pragma: no cover - broken accelerator runtime
         log.warning("accelerator probe failed (%s); using NumPy engine", e)
-    return NumpyEngine(threads)
+    return None
+
+
+class AutoStreamEngine:
+    """AUTO engine for unknown-size inputs (stdin): peek, then commit.
+
+    Selection is deferred until the first chunks arrive: the stream is
+    buffered until EOF or ``AUTO_DEVICE_THRESHOLD`` accumulated bytes, then
+    the whole stream (buffered prefix + remainder) is replayed through the
+    chosen engine — small pipes stay on the NumPy engine (device dispatch
+    latency dominates), large pipes tokenize on the accelerator. Because no
+    engine consumes a byte before selection, semantics are identical either
+    way.
+    """
+
+    name = "auto"
+
+    def __init__(self, threads: int = 0):
+        self.threads = threads
+        self.selected = None  # set on first stream; exposed for tests/logs
+
+    def _select(self, chunks: Iterable[np.ndarray]):
+        import itertools
+
+        buffered = []
+        total = 0
+        it = iter(chunks)
+        for chunk in it:
+            buffered.append(chunk)
+            total += chunk.shape[0]
+            if total >= AUTO_DEVICE_THRESHOLD:
+                break
+        engine = None
+        if total >= AUTO_DEVICE_THRESHOLD:
+            engine = _probe_device_engine()
+        if engine is None:
+            engine = NumpyEngine(self.threads)
+        self.selected = engine
+        log.info("AUTO stream committed to %s engine (%d bytes peeked)",
+                 engine.name, total)
+        return engine, itertools.chain(buffered, it)
+
+    def basic_stream(self, chunks, chunk_hint: int) -> Iterator[bytes]:
+        engine, replay = self._select(chunks)
+        yield from engine.basic_stream(replay, chunk_hint)
+
+    def passthrough_stream(self, chunks, chunk_hint: int) -> Iterator[bytes]:
+        # identity copy never benefits from the device
+        engine = NumpyEngine(self.threads)
+        self.selected = engine
+        yield from engine.passthrough_stream(chunks, chunk_hint)
+
+    def bpe_stream(self, chunks, table: MergeTable, chunk_hint: int) -> Iterator[bytes]:
+        engine, replay = self._select(chunks)
+        yield from engine.bpe_stream(replay, table, chunk_hint)
+
+
+def select_engine(engine_pref, input_size: Optional[int], threads: int = 0):
+    """AUTO: device engine for large inputs on an accelerator, else NumPy.
+
+    Device dispatch + compile latency dominates small inputs; the NumPy
+    engine is already at memory-bandwidth speed there. Unknown-size streams
+    get the peek-then-commit AutoStreamEngine.
+    """
+    from blt_tpu.config import Engine
+
+    if engine_pref == Engine.NUMPY:
+        return NumpyEngine(threads)
+    if engine_pref == Engine.JAX:
+        return JaxEngine()
+    if engine_pref == Engine.SHARD:
+        return ShardedJaxEngine()
+    if input_size is None:
+        return AutoStreamEngine(threads)
+    if input_size < AUTO_DEVICE_THRESHOLD:
+        return NumpyEngine(threads)
+    engine = _probe_device_engine()
+    return engine if engine is not None else NumpyEngine(threads)

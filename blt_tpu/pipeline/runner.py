@@ -26,7 +26,7 @@ import numpy as np
 
 from blt_tpu.config import CoreConfig, Mode
 from blt_tpu.io.sources import OutputWriter, setup_io
-from blt_tpu.pipeline.engines import JaxEngine, select_engine
+from blt_tpu.pipeline.engines import AutoStreamEngine, JaxEngine, select_engine
 from blt_tpu.utils.chunking import get_effective_chunk_size
 from blt_tpu.utils.logging import get_logger, span
 from blt_tpu.utils.profiling import maybe_profile
@@ -62,7 +62,7 @@ def run_tokenizer(config: CoreConfig) -> None:
         invariant_output = mode in (Mode.BASIC, Mode.PASSTHROUGH) or (
             mode == Mode.BPE and config.table().flat
         )
-        if isinstance(engine, JaxEngine) and invariant_output:
+        if isinstance(engine, (JaxEngine, AutoStreamEngine)) and invariant_output:
             feed_size = max(effective_chunk_size, _device_batch_bytes())
 
         chunks = src.chunks(feed_size)

@@ -126,6 +126,29 @@ def test_cli_missing_merges_file():
     assert b"Error running tokenizer:" in r.stderr
 
 
+@pytest.mark.parametrize("value", ["300", "-1", "abc"])
+def test_cli_memcap_validation(value):
+    # clap types memcap as u8 (reference: src/main.rs:48-52): out-of-range
+    # and non-numeric values are rejected at parse time with exit code 2.
+    r = run_cli(["--memcap", value], b"x")
+    assert r.returncode == 2
+    assert b"--memcap" in r.stderr
+
+
+@pytest.mark.parametrize("value", ["-2", "xyz"])
+def test_cli_threads_validation(value):
+    # clap types threads as usize (reference: src/main.rs:44-46).
+    r = run_cli(["--threads", value], b"x")
+    assert r.returncode == 2
+    assert b"--threads" in r.stderr
+
+
+def test_cli_memcap_boundary_accepted():
+    r = run_cli(["--memcap", "255"], b"ok")
+    assert r.returncode == 0, r.stderr
+    assert r.stdout == u16be(b"ok")
+
+
 class TestTrainCli:
     def test_train_cli_end_to_end(self, tmp_path):
         """Learn merges from a corpus, write reference-grammar merges.txt,

@@ -250,3 +250,48 @@ def test_token_encoder_randomized_vs_oracle():
         got = enc.encode(data).tolist()
         exp = bpe_encode_multipass(data, t).tolist()
         assert got == exp, n
+
+
+def test_upload_encode_device_stale_tail_exact():
+    """upload() leaves tail bytes stale in the reused buffer; the kernel
+    masks by length, so a shorter second batch after a longer first one
+    (same buffer) must still be exact."""
+    t = MergeTable.build({(97, 98): 256, (98, 99): 257, (32, 97): 258})
+    enc = PallasFlatEncoder(t, interpret=True, capacity_bytes=BLOCK)
+    buf = np.empty(enc.padded_bytes, np.uint8)
+    rng = np.random.default_rng(11)
+    long = rng.choice(np.frombuffer(b"abc ab", np.uint8), size=BLOCK)
+    short = rng.choice(np.frombuffer(b"abc ab", np.uint8), size=BLOCK // 3)
+
+    def run(piece, carry, nb, prev):
+        dev, n = enc.upload(piece, buf)
+        slots, _, c = enc.encode_device(dev, n, carry, nb)
+        toks, prev = filter_slots(np.asarray(slots).reshape(-1)[:n], prev)
+        return toks, c, prev
+
+    toks1, carry, prev = run(long, False, int(short[0]), 0)
+    toks2, _, _ = run(short, carry, -1, prev)
+    got = np.frombuffer(toks1.tobytes() + toks2.tobytes(), ">u2").astype(np.int64)
+    expected = bpe_encode_flat(np.concatenate([long, short]), t)
+    assert got.tolist() == expected.tolist()
+
+
+def test_pipelined_engine_stream_interpret_exact():
+    """Full 3-stage pipelined _bpe_pallas_stream (feed/drain threads,
+    buffer reuse) against the NumPy oracle, multi-batch with carries."""
+    import jax
+
+    from blt_tpu.pipeline.engines import JaxEngine
+
+    t = MergeTable.build({(97, 98): 256, (98, 99): 257, (99, 97): 258})
+    rng = np.random.default_rng(5)
+    data = rng.choice(np.frombuffer(b"abcabcaabbcc", np.uint8), size=4 * BLOCK + 77)
+    hint = BLOCK
+    chunks = [data[i : i + hint] for i in range(0, data.shape[0], hint)]
+
+    enc = PallasFlatEncoder(t, interpret=True, capacity_bytes=hint)
+    engine = JaxEngine()
+    out = b"".join(engine._bpe_pallas_stream(iter(chunks), enc, hint))
+    expected = bpe_encode_flat(data, t)
+    got = np.frombuffer(out, ">u2").astype(np.int64)
+    assert got.tolist() == expected.tolist()

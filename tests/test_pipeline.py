@@ -213,3 +213,110 @@ def test_e2e_fuzz_bounded():
     rng = np.random.default_rng(42)
     for t in range(6):
         fuzz_e2e.one_trial(rng, t, max_bytes=60_000)
+
+
+def test_pallas_encoder_construction_failure_falls_back(monkeypatch):
+    """A PallasFlatEncoder construction failure must fall back to the XLA
+    path BEFORE any output is emitted (VERDICT r1 item 8)."""
+    import blt_tpu.ops.bpe_pallas as bp
+    from blt_tpu.pipeline.engines import JaxEngine
+
+    engine = JaxEngine()
+    # pretend we are on a TPU so the Pallas branch is taken
+    class FakeJax:
+        def __getattr__(self, name):
+            import jax
+
+            return getattr(jax, name)
+
+        def default_backend(self):
+            return "tpu"
+
+    engine._jax = FakeJax()
+
+    class Exploding:
+        def __init__(self, *a, **k):
+            raise ValueError("construction failed")
+
+        @staticmethod
+        def supports(table):
+            return True
+
+    monkeypatch.setattr(bp, "PallasFlatEncoder", Exploding)
+    table = MergeTable.build(MERGES)
+    data = np.frombuffer(b"abcabcab" * 100, np.uint8)
+    out = b"".join(engine.bpe_stream(iter([data]), table, 1024))
+    assert out == expected_bpe(data.tobytes())
+
+
+def test_pallas_mid_stream_failure_raises():
+    """A failure after the encoder is built must propagate, never silently
+    re-emit the stream through another path (VERDICT r1 item 8)."""
+    from blt_tpu.pipeline.engines import JaxEngine
+
+    engine = JaxEngine()
+
+    class MidStreamFault:
+        calls = 0
+        padded_bytes = 1024
+
+        def upload(self, data, buf, threads=0):
+            return data, data.shape[0]
+
+        def encode_device(self, dev, n, carry, next_byte):
+            MidStreamFault.calls += 1
+            if MidStreamFault.calls >= 2:
+                raise RuntimeError("device fault mid-stream")
+            slots = dev.astype(np.uint16) << 8  # byteswapped passthrough
+            return slots, n, False
+
+    chunks = [np.frombuffer(b"abcd", np.uint8)] * 4
+    stream = engine._bpe_pallas_stream(iter(chunks), MidStreamFault(), 4)
+    with pytest.raises(RuntimeError, match="device fault mid-stream"):
+        list(stream)
+
+
+def test_auto_stream_small_pipe_stays_numpy():
+    from blt_tpu.pipeline import engines as eng
+
+    auto = eng.AutoStreamEngine()
+    chunks = [np.frombuffer(b"hello", np.uint8)]
+    out = b"".join(auto.basic_stream(iter(chunks), 1024))
+    assert out == bytes(b for ch in b"hello" for b in (0, ch))
+    assert isinstance(auto.selected, eng.NumpyEngine)
+
+
+def test_auto_stream_large_pipe_selects_device(monkeypatch):
+    """A pipe crossing the AUTO threshold must commit to the device engine
+    when an accelerator is present (VERDICT r1 item 10), with no bytes lost
+    or re-emitted around the switch."""
+    from blt_tpu.pipeline import engines as eng
+
+    picked = {}
+
+    class FakeDeviceEngine(eng.NumpyEngine):
+        name = "fake-device"
+
+    def fake_probe():
+        picked["probed"] = True
+        return FakeDeviceEngine()
+
+    monkeypatch.setattr(eng, "_probe_device_engine", fake_probe)
+    monkeypatch.setattr(eng, "AUTO_DEVICE_THRESHOLD", 1024)
+
+    rng = np.random.default_rng(3)
+    chunks = [rng.integers(0, 256, 300, dtype=np.uint8) for _ in range(8)]
+    auto = eng.AutoStreamEngine()
+    out = b"".join(auto.basic_stream(iter(chunks), 300))
+    expected = b"".join(c.astype(">u2").tobytes() for c in chunks)
+    assert out == expected
+    assert picked.get("probed")
+    assert auto.selected.name == "fake-device"
+
+
+def test_auto_engine_selection_for_streams():
+    from blt_tpu.config import Engine
+    from blt_tpu.pipeline import engines as eng
+
+    assert isinstance(eng.select_engine(Engine.AUTO, None), eng.AutoStreamEngine)
+    assert isinstance(eng.select_engine(Engine.AUTO, 1000), eng.NumpyEngine)
