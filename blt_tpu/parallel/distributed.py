@@ -13,11 +13,12 @@ Launch on each host (or let the TPU runtime auto-configure):
     mesh = dist.global_mesh()              # 1-D data mesh over all chips
     lo, hi = dist.host_byte_range(total)   # this host's corpus slice
 
-Each host feeds only its byte range; `parallel.sharded.sharded_flat_encode`
-runs under the global mesh, and the carry-composition scan stitches shard
-boundaries exactly (see blt_tpu/parallel/sharded.py). Host-order output
-assembly mirrors the single-host ordered drain: host h's token stream is
-written at offset prefix(h) after a tiny all-gather of per-host counts.
+Each host feeds only its byte range. The full multi-process runner —
+merge-transparent boundary planning, per-host encoding, and host-order
+output assembly (pwrite at offset prefix(h) after a tiny all-gather of
+per-host counts) — lives in blt_tpu/parallel/multihost.py and is wired
+into the pipeline runner via the BLT_COORDINATOR_ADDRESS /
+BLT_NUM_PROCESSES / BLT_PROCESS_ID environment contract.
 """
 
 from __future__ import annotations
@@ -44,6 +45,10 @@ def initialize(
     With no arguments, relies on the TPU runtime's auto-bootstrap (the
     standard path on Cloud TPU pods). Single-process environments are a
     no-op, so code written for multi-host runs unchanged on one host.
+    With an EXPLICIT coordinator address (the BLT_COORDINATOR_ADDRESS
+    contract), failures re-raise — silently degrading an explicit
+    multi-process launch to N independent solo runs would corrupt the
+    shared output.
     """
     global _initialized
     if _initialized:
@@ -61,6 +66,8 @@ def initialize(
             jax.process_count(),
         )
     except (ValueError, RuntimeError) as e:
+        if coordinator_address is not None:
+            raise
         # already initialized, or single-process without coordinator info
         log.debug("distributed init skipped: %s", e)
         _initialized = True

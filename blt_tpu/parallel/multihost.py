@@ -1,0 +1,255 @@
+"""Multi-host (multi-process) tokenization runner.
+
+The reference is single-node (SURVEY.md 2: no distributed backend); the
+BASELINE.json north star defines the multi-host shape: corpus byte-ranges
+sharded across hosts, merges replicated, outputs assembled host-in-order.
+
+TPU-native design — communication is replaced by boundary *analysis*:
+
+- **flat BPE**: a host boundary placed at position j where the straddling
+  pair (b[j-1], b[j]) is NOT a merge rule is provably transparent — no
+  merge can consume byte j (match bits are parity-independent), so the
+  carry into the range is 0 and the parity scan restarts exactly as the
+  global stream would. Each host's range therefore encodes as an
+  independent stream, bit-equal to its slice of the single-host output,
+  with ZERO cross-host traffic during encoding. ``safe_split_bounds``
+  nudges each nominal boundary forward to the nearest such position
+  (vectorized mmap scan; typically a few bytes).
+- **non-flat BPE** keeps the reference's per-chunk semantics, so host
+  boundaries align to the GLOBAL chunk grid (multiples of the effective
+  chunk size from byte 0): every chunk lands on exactly one host and the
+  concatenated output equals the single-host run.
+- **basic / passthrough** split anywhere; output offsets are affine in
+  the input offset (2x / 1x), so hosts write directly at their offset.
+
+Output assembly (the promise of parallel/distributed.py's docstring):
+hosts with size-deterministic output pwrite in place; BPE hosts spool
+locally, all-gather per-host token counts (one tiny collective — the
+only communication in the whole run), then pwrite the spool at
+``header + sum(counts[:h])``.
+
+Launch: same CLI on every host with BLT_COORDINATOR_ADDRESS,
+BLT_NUM_PROCESSES, BLT_PROCESS_ID set (or Cloud TPU auto-bootstrap), e.g.
+
+    BLT_COORDINATOR_ADDRESS=host0:9876 BLT_NUM_PROCESSES=2 \
+    BLT_PROCESS_ID=$RANK blt -i corpus.bin -o out.bin --merges m.txt
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import List, Optional
+
+import numpy as np
+
+from blt_tpu.config import CoreConfig, Mode
+from blt_tpu.merges import NO_RULE
+from blt_tpu.utils.chunking import get_effective_chunk_size
+from blt_tpu.utils.logging import get_logger
+
+log = get_logger("multihost")
+
+# bytes scanned per window while searching for a safe split
+_SCAN_WINDOW = 4 * 1024 * 1024
+
+
+def env_distributed() -> bool:
+    """True when the BLT multi-process env contract is set."""
+    return os.environ.get("BLT_COORDINATOR_ADDRESS") is not None
+
+
+def initialize_from_env() -> None:
+    from blt_tpu.parallel import distributed as dist
+
+    dist.initialize(
+        coordinator_address=os.environ["BLT_COORDINATOR_ADDRESS"],
+        num_processes=int(os.environ["BLT_NUM_PROCESSES"]),
+        process_id=int(os.environ["BLT_PROCESS_ID"]),
+    )
+
+
+def even_bounds(total: int, n: int) -> List[int]:
+    """n+1 monotone bounds of near-equal contiguous ranges."""
+    per = -(-total // n) if total else 0
+    return [min(i * per, total) for i in range(n)] + [total]
+
+
+def chunk_aligned_bounds(total: int, chunk: int, n: int) -> List[int]:
+    """Host bounds snapped DOWN to the global chunk grid (non-flat BPE:
+    every size-``chunk`` chunk from byte 0 lands wholly on one host)."""
+    raw = even_bounds(total, n)
+    snapped = [0]
+    for b in raw[1:-1]:
+        snapped.append(max(snapped[-1], (b // chunk) * chunk))
+    snapped.append(total)
+    return snapped
+
+
+def safe_split_bounds(
+    mm: np.ndarray, dense: np.ndarray, n: int
+) -> List[int]:
+    """Flat-BPE host bounds, each nudged to a merge-transparent position.
+
+    A split at j is safe iff the pair (mm[j-1], mm[j]) is not a rule
+    (dense[pair] == NO_RULE): no merge can straddle it, under either
+    parity. Deterministic pure function of (mm, dense, n) — every host
+    computes identical bounds with no communication. If a window holds no
+    safe position the scan widens; a pathological all-matches file
+    degrades to fewer effective hosts (correctness first).
+    """
+    total = mm.shape[0]
+    nominal = even_bounds(total, n)
+    bounds = [0]
+    for b in nominal[1:-1]:
+        j = max(b, bounds[-1])
+        found: Optional[int] = None
+        while j < total:
+            hi = min(j + _SCAN_WINDOW, total)
+            if j >= 1 and hi > j:
+                window = mm[j - 1 : hi]
+                pairs = window[:-1].astype(np.int32) * 256 + window[1:]
+                ok = np.nonzero(dense[pairs] == NO_RULE)[0]
+                if ok.size:
+                    found = j + int(ok[0])
+                    break
+            elif j == 0:
+                found = 0
+                break
+            j = hi
+        bounds.append(total if found is None else found)
+    bounds.append(total)
+    return bounds
+
+
+def plan_bounds(config: CoreConfig, total: int, mm, nproc: int) -> List[int]:
+    mode = config.mode
+    if mode == Mode.BPE:
+        table = config.table()
+        if table.flat:
+            return safe_split_bounds(mm, table.dense, nproc)
+        chunk = get_effective_chunk_size(
+            config.cli_chunk_size, config.num_threads, config.mem_cap_percent
+        )
+        return chunk_aligned_bounds(total, chunk, nproc)
+    return even_bounds(total, nproc)
+
+
+def _allgather_counts(local_count: int) -> np.ndarray:
+    """Per-process output byte counts, host-order (the one collective)."""
+    from jax.experimental import multihost_utils
+
+    return np.asarray(
+        multihost_utils.process_allgather(np.int64(local_count))
+    ).reshape(-1)
+
+
+def run_tokenizer_distributed(config: CoreConfig) -> None:
+    """Execute one multi-process tokenization run (file -> shared file).
+
+    Every process runs this same function; each encodes its own byte
+    range with its normal local engine and writes at its exact offset in
+    the shared output. The result is byte-identical to a single-process
+    run of the same config.
+    """
+    import jax
+
+    from blt_tpu.pipeline.engines import select_engine
+    from blt_tpu.pipeline.runner import _device_batch_bytes
+
+    if config.input is None or str(config.input) == "-":
+        raise ValueError("multi-host runs require a file input (stdin is per-host)")
+    if config.output is None or str(config.output) == "-":
+        raise ValueError("multi-host runs require a file output")
+
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    total = os.path.getsize(config.input)
+    mm = (
+        np.memmap(config.input, dtype=np.uint8, mode="r")
+        if total
+        else np.empty(0, np.uint8)
+    )
+
+    bounds = plan_bounds(config, total, mm, nproc)
+    lo, hi = bounds[pid], bounds[pid + 1]
+    log.info("host %d/%d: bytes [%d, %d) of %d", pid, nproc, lo, hi, total)
+
+    mode = config.mode
+    header = b""
+    if config.content_type is not None:
+        header = config.content_type.token_value.to_bytes(2, "big")
+
+    effective_chunk_size = get_effective_chunk_size(
+        config.cli_chunk_size, config.num_threads, config.mem_cap_percent
+    )
+    engine = select_engine(config.engine, hi - lo, config.num_threads)
+    invariant = mode in (Mode.BASIC, Mode.PASSTHROUGH) or (
+        mode == Mode.BPE and config.table().flat
+    )
+    feed_size = effective_chunk_size
+    if invariant and engine.name in ("jax", "shard"):
+        feed_size = max(effective_chunk_size, _device_batch_bytes())
+
+    def chunks():
+        for start in range(lo, hi, feed_size):
+            yield mm[start : min(start + feed_size, hi)]
+
+    if mode == Mode.PASSTHROUGH:
+        results = engine.passthrough_stream(chunks(), feed_size)
+    elif mode == Mode.BASIC:
+        results = engine.basic_stream(chunks(), feed_size)
+    else:
+        results = engine.bpe_stream(chunks(), config.table(), feed_size)
+
+    fd = os.open(config.output, os.O_WRONLY | os.O_CREAT, 0o644)
+    try:
+        if mode in (Mode.BASIC, Mode.PASSTHROUGH):
+            # size-deterministic: write directly at the known offset
+            factor = 2 if mode == Mode.BASIC else 1
+            off = len(header) + factor * lo
+            for data in results:
+                off += os.pwrite(fd, data, off)
+            local_count = factor * (hi - lo)
+            counts = _allgather_counts(local_count) if nproc > 1 else None
+            total_out = len(header) + factor * total
+        else:
+            # BPE: spool locally, then place at the all-gathered offset
+            with tempfile.NamedTemporaryFile(
+                dir=os.path.dirname(os.path.abspath(config.output)) or ".",
+                prefix=".blt_spool_",
+                delete=False,
+            ) as spool:
+                spool_path = spool.name
+                local_count = 0
+                for data in results:
+                    spool.write(data)
+                    local_count += len(data)
+            try:
+                counts = (
+                    _allgather_counts(local_count)
+                    if nproc > 1
+                    else np.array([local_count], np.int64)
+                )
+                off = len(header) + int(counts[:pid].sum())
+                with open(spool_path, "rb") as sp:
+                    while True:
+                        buf = sp.read(1 << 22)
+                        if not buf:
+                            break
+                        off += os.pwrite(fd, buf, off)
+                total_out = len(header) + int(counts.sum())
+            finally:
+                os.unlink(spool_path)
+        if pid == 0:
+            if header:
+                os.pwrite(fd, header, 0)
+            os.ftruncate(fd, total_out)
+    finally:
+        os.close(fd)
+
+    if nproc > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("blt_output_assembled")
+    log.info("host %d/%d: wrote %d bytes", pid, nproc, local_count)

@@ -44,6 +44,17 @@ def _device_batch_bytes() -> int:
 def run_tokenizer(config: CoreConfig) -> None:
     """Execute one tokenization run (lib.rs:246-267 orchestration)."""
     log.info("Starting tokenizer")
+    from blt_tpu.parallel import multihost
+
+    if multihost.env_distributed():
+        # Multi-process contract set (BLT_COORDINATOR_ADDRESS et al.):
+        # every host runs its byte range; see parallel/multihost.py.
+        multihost.initialize_from_env()
+        import jax
+
+        if jax.process_count() > 1:
+            multihost.run_tokenizer_distributed(config)
+            return
     mode = config.mode
     effective_chunk_size = get_effective_chunk_size(
         config.cli_chunk_size, config.num_threads, config.mem_cap_percent
