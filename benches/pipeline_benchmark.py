@@ -27,7 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from blt_tpu.config import CoreConfig, Engine  # noqa: E402
 from blt_tpu.pipeline.runner import run_tokenizer  # noqa: E402
 
-SIZES = {"10MB": 10 * 1024 * 1024, "100MB": 100 * 1024 * 1024, "1GB": 1 << 30}
+SIZES = {
+    "10MB": 10 * 1024 * 1024,
+    "100MB": 100 * 1024 * 1024,
+    "256MB": 256 * 1024 * 1024,
+    "1GB": 1 << 30,
+}
 
 
 def make_file(path: str, size: int) -> None:
@@ -57,13 +62,67 @@ def run_once(input_path, output_path, mode, engine, merges_path=None):
     return time.perf_counter() - t0
 
 
+def measure_roofline() -> dict:
+    """Measure the host<->device interconnect and dispatch floors.
+
+    End-to-end device-engine throughput is bounded by
+    min(H2D for the input, D2H for the 2x-sized token output, kernel
+    rate); recording the link numbers alongside the pipeline numbers
+    shows how close the pipeline runs to this machine's speed of light
+    (on a tunneled remote TPU the link, not the kernel, is the binding
+    constraint; on a local TPU host it is PCIe/DMA).
+    """
+    import jax
+
+    mb = 16
+    n = mb * 1024 * 1024
+    x = np.random.default_rng(0).integers(0, 256, n, dtype=np.uint8)
+    f = jax.jit(lambda a: a + 1)
+    # warm up the transfer path (first D2H in a process pays tunnel setup)
+    w = f(jax.device_put(x[: 1 << 20]))
+    np.asarray(w)
+
+    t0 = time.perf_counter()
+    d = jax.device_put(x)
+    jax.block_until_ready(d)
+    h2d = n / (time.perf_counter() - t0)
+    d = f(d)  # fresh array so np.asarray cannot reuse a cached host copy
+    jax.block_until_ready(d)
+    t0 = time.perf_counter()
+    np.asarray(d)
+    d2h = n / (time.perf_counter() - t0)
+    s = jax.device_put(np.zeros(8, np.int32))
+    f(s).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(20):
+        r = f(s)
+    r.block_until_ready()
+    dispatch_ms = (time.perf_counter() - t0) / 20 * 1e3
+    return {
+        "backend": jax.default_backend(),
+        "h2d_bytes_per_sec": h2d,
+        "d2h_bytes_per_sec": d2h,
+        "dispatch_ms": dispatch_ms,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="10MB,100MB")
     ap.add_argument("--engine", default="auto", choices=["auto", "jax", "numpy"])
     ap.add_argument("--samples", type=int, default=3)
+    ap.add_argument("--out", default=None, help="write a JSON artifact here")
+    ap.add_argument("--roofline", action="store_true",
+                    help="also measure H2D/D2H/dispatch floors (device engines)")
+    ap.add_argument("--modes", default="passthrough,basic,bpe")
     args = ap.parse_args()
     engine = Engine(args.engine)
+    records = []
+    artifact = {"engine": args.engine, "workloads": records}
+
+    if args.roofline:
+        artifact["roofline"] = measure_roofline()
+        print(json.dumps({"roofline": artifact["roofline"]}), flush=True)
 
     with tempfile.TemporaryDirectory() as td:
         merges = os.path.join(td, "merges.txt")
@@ -75,26 +134,26 @@ def main():
             ip = os.path.join(td, f"in_{name}.bin")
             op = os.path.join(td, "out.bin")
             make_file(ip, size)
-            for mode in ["passthrough", "basic", "bpe"]:
+            for mode in args.modes.split(","):
                 times = [
                     run_once(ip, op, mode, engine, merges)
                     for _ in range(args.samples)
                 ]
                 best = min(times)
-                print(
-                    json.dumps(
-                        {
-                            "workload": f"{mode}_{name}",
-                            "bytes": size,
-                            "best_seconds": best,
-                            "bytes_per_sec": size / best,
-                            "samples": args.samples,
-                            "engine": engine.value,
-                        }
-                    ),
-                    flush=True,
-                )
+                rec = {
+                    "workload": f"{mode}_{name}",
+                    "bytes": size,
+                    "best_seconds": best,
+                    "bytes_per_sec": size / best,
+                    "samples": args.samples,
+                    "engine": engine.value,
+                }
+                records.append(rec)
+                print(json.dumps(rec), flush=True)
             os.unlink(ip)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=1)
 
 
 if __name__ == "__main__":

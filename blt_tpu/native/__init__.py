@@ -85,8 +85,13 @@ def copy_into(src: np.ndarray, dst: np.ndarray, threads: int) -> None:
     lib.blt_copy(src.ctypes.data, dst.ctypes.data, src.shape[0], threads)
 
 
-def widen_be(src: np.ndarray, threads: int) -> bytes:
-    """Basic mode byte->u16-BE at multithreaded memcpy speed."""
+def widen_be(src: np.ndarray, threads: int) -> memoryview:
+    """Basic mode byte->u16-BE at multithreaded memcpy speed.
+
+    Returns a memoryview over a fresh buffer (no tobytes copy: the writer
+    consumes the buffer protocol directly; on low-bandwidth hosts the
+    extra 2n-byte copy would rival the widen itself).
+    """
     lib = load()
     assert lib is not None
     src = np.ascontiguousarray(src)
@@ -94,7 +99,7 @@ def widen_be(src: np.ndarray, threads: int) -> bytes:
     lib.blt_widen_be(
         src.ctypes.data, out.ctypes.data, src.shape[0], threads
     )
-    return out.tobytes()
+    return memoryview(out)
 
 
 def flat_bpe(
@@ -120,7 +125,7 @@ def flat_bpe(
         ctypes.byref(carry_out),
         threads,
     )
-    return out[: 2 * count].tobytes(), bool(carry_out.value)
+    return memoryview(out)[: 2 * count], bool(carry_out.value)
 
 
 def filter_slots_native(
@@ -136,11 +141,11 @@ def filter_slots_native(
     slots = np.ascontiguousarray(slots, dtype=np.uint16)
     n = slots.shape[0]
     if n == 0:
-        return b"", prev_token
+        return memoryview(b""), prev_token
     out = np.empty(n, np.uint16)
     last = ctypes.c_uint16(0)
     count = lib.blt_filter_slots(
         slots.ctypes.data, n, prev_token & 0xFFFF, out.ctypes.data,
         ctypes.byref(last), threads,
     )
-    return out[:count].tobytes(), int(last.value)
+    return memoryview(out).cast("B")[: 2 * count], int(last.value)

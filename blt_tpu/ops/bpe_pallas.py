@@ -780,6 +780,127 @@ class PallasTokenEncoder:
         return toks
 
 
+class ShardedTokenEncoder:
+    """Row-parallel multipass for general tables over a device mesh.
+
+    Each device runs one chunk's token-pass kernel per round via
+    ``shard_map`` (the kernel is opaque to the partitioner, so explicit
+    per-device mapping is the idiomatic spelling); the host compacts -1
+    tombstones per row between rounds and stops when no row changed.
+    Chunks are independent in this mode (reference per-chunk semantics,
+    SURVEY.md 2.1.6), so no cross-device stitching exists by construction
+    — multi-chip speedup is a pure B-way scale-out of the single-device
+    PallasTokenEncoder.
+    """
+
+    def __init__(
+        self,
+        table: MergeTable,
+        mesh,
+        interpret: bool = False,
+        capacity_tokens: int = 0,
+        rows_per_block: int = ROWS_PER_BLOCK,
+    ):
+        self._single = PallasTokenEncoder(
+            table,
+            interpret=interpret,
+            capacity_tokens=capacity_tokens,
+            rows_per_block=rows_per_block,
+        )
+        self.mesh = mesh
+        self.n_rows = int(mesh.devices.size)
+        self.capacity = self._single.capacity
+        assert self.capacity, "ShardedTokenEncoder requires a fixed capacity"
+        self._call = None
+
+    @staticmethod
+    def supports(table: MergeTable) -> bool:
+        return PallasTokenEncoder.supports(table)
+
+    def _build_call(self):
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from blt_tpu.parallel.mesh import DATA_AXIS
+
+        enc = self._single
+        rpb = enc.rows_per_block
+        interpret = enc.interpret
+
+        def per_shard(params, data3, k1, v1, k2, v2):
+            # local shapes: params (1, 8), data3 (1, rows3, 128)
+            return _token_pass_call(
+                params[0],
+                data3[0],
+                k1,
+                v1,
+                k2,
+                v2,
+                interpret=interpret,
+                rows_per_block=rpb,
+            )[None]
+
+        row = P(DATA_AXIS, None)
+        row3 = P(DATA_AXIS, None, None)
+        rep = P()
+        kwargs = dict(
+            mesh=self.mesh,
+            in_specs=(row, row3, rep, rep, rep, rep),
+            out_specs=row3,
+        )
+        try:
+            mapped = shard_map(per_shard, check_vma=False, **kwargs)
+        except TypeError:  # older jax spells it check_rep
+            mapped = shard_map(per_shard, check_rep=False, **kwargs)
+        return jax.jit(mapped)
+
+    def encode_pass_batch(self, rows: list) -> list:
+        """One merge round over up to n_rows token arrays (int32), each on
+        its own device; returns per-row arrays with -1 tombstones."""
+        enc = self._single
+        b = self.n_rows
+        num_blocks = self.capacity // enc.block
+        padded_rows = num_blocks * enc.rows_per_block + 8
+        batch = np.zeros((b, padded_rows * LANES), np.int32)
+        params = np.zeros((b, 8), np.int32)
+        for r, toks in enumerate(rows):
+            assert toks.shape[0] <= self.capacity
+            batch[r, : toks.shape[0]] = toks
+            params[r] = [
+                toks.shape[0], enc.a1, enc.a2, enc.shift, 0, 0, 0, 0,
+            ]
+        if self._call is None:
+            self._call = self._build_call()
+        out = self._call(
+            jnp.asarray(params),
+            jnp.asarray(batch.reshape(b, padded_rows, LANES)),
+            enc.k1,
+            enc.v1,
+            enc.k2,
+            enc.v2,
+        )
+        host = np.asarray(out).reshape(b, -1)
+        return [host[r, : rows[r].shape[0]] for r in range(len(rows))]
+
+    def encode_batch(self, chunks: list) -> list:
+        """Full multipass encode of up to n_rows chunks -> token arrays."""
+        toks = [c.astype(np.int32) for c in chunks]
+        active = [t.shape[0] > 1 for t in toks]
+        while any(active):
+            outs = self.encode_pass_batch(toks)
+            for r, out in enumerate(outs):
+                if not active[r]:
+                    continue
+                kept = out[out != -1]
+                if kept.shape[0] == toks[r].shape[0] or kept.shape[0] <= 1:
+                    active[r] = False
+                toks[r] = np.ascontiguousarray(kept)
+        return toks
+
+
 def _basic_chained_kernel(tok_ref, data_ref, out_ref, done_ref):
     out_ref[:] = (data_ref[:].astype(jnp.int32) << 8).astype(jnp.uint16)
     done_ref[0, 0] = pl.program_id(0) + tok_ref[0, 0]

@@ -224,7 +224,9 @@ def run_tokenizer_distributed(config: CoreConfig) -> None:
                 local_count = 0
                 for data in results:
                     spool.write(data)
-                    local_count += len(data)
+                    # engines may yield ndarray/memoryview buffers whose
+                    # len() counts elements, not bytes
+                    local_count += getattr(data, "nbytes", None) or len(data)
             try:
                 counts = (
                     _allgather_counts(local_count)

@@ -54,7 +54,7 @@ class NumpyEngine:
             if self._native is not None:
                 yield self._native.widen_be(chunk, self.threads)
             else:
-                yield chunk.astype(">u2").tobytes()
+                yield chunk.astype(">u2")  # fresh array; writer takes the buffer
 
     def passthrough_stream(
         self, chunks: Iterable[np.ndarray], chunk_hint: int
@@ -73,7 +73,7 @@ class NumpyEngine:
             # chunk size exactly as the reference's does, SURVEY.md 2.1.6).
             for chunk in chunks:
                 toks = bpe_numpy.bpe_encode_multipass(chunk, table)
-                yield toks.astype(">u2").tobytes()
+                yield toks.astype(">u2")
 
     def _bpe_flat_stream(
         self, chunks: Iterable[np.ndarray], table: MergeTable
@@ -89,7 +89,7 @@ class NumpyEngine:
             toks, c = bpe_numpy.bpe_encode_flat_carry(
                 data, table, carry_in, next_byte
             )
-            return toks.astype(">u2").tobytes(), c
+            return toks.astype(">u2"), c
 
         for chunk in chunks:
             if chunk.shape[0] == 0:
@@ -146,7 +146,7 @@ class JaxEngine:
             def drain(items):
                 for out, n in items:
                     host = np.asarray(out).reshape(-1)
-                    yield host[:n].tobytes()
+                    yield host[:n]  # u16 view; LE image == BE wire
 
             yield from prefetch_iter(
                 drain(prefetch_iter(feed(), self.depth, "feed")),
@@ -175,7 +175,7 @@ class JaxEngine:
         out, length = pending.popleft()
         # uint16 LE image == u16-BE wire stream; flatten host-side
         host = np.asarray(out).reshape(-1)
-        return host[:length].tobytes()
+        return host[:length]  # u16 view; LE image == BE wire
 
     def passthrough_stream(
         self, chunks: Iterable[np.ndarray], chunk_hint: int
@@ -266,7 +266,7 @@ class JaxEngine:
                 else:
                     toks, prev_tok = filter_slots(slots, prev_tok)
                     # byteswapped u16: LE image is already the BE wire stream
-                    wire = toks.tobytes()
+                    wire = toks
                 yield wire
 
         yield from prefetch_iter(
@@ -317,7 +317,7 @@ class JaxEngine:
         count, be = pending.popleft()
         n_tokens = int(count)
         host = np.asarray(be)  # uint16 LE image == u16-BE wire stream
-        return host[:n_tokens].tobytes()
+        return host[:n_tokens]
 
     def _bpe_multipass_stream(
         self, chunks: Iterable[np.ndarray], table: MergeTable, chunk_hint: int
@@ -358,7 +358,7 @@ class JaxEngine:
             if chunk.shape[0] == 0:
                 continue
             toks = enc.encode(chunk)
-            yield toks.astype(">u2").tobytes()
+            yield toks.astype(">u2")
 
     def _bpe_multipass_xla_stream(
         self, chunks: Iterable[np.ndarray], table: MergeTable, chunk_hint: int
@@ -509,8 +509,50 @@ class ShardedJaxEngine(JaxEngine):
 
         Chunks are independent in this mode (the reference's own per-chunk
         semantics, SURVEY.md 2.1.6), so groups of n_devices chunks run as
-        one row-sharded vmapped multipass — every mode uses every chip.
+        one row-sharded multipass — every mode uses every chip. On TPU
+        meshes each row runs the Pallas token-pass kernel (shard_map, one
+        chunk per device; ~50x the XLA round-loop per chip); other
+        backends keep the vmapped XLA multipass.
         """
+        impl = os.environ.get("BLT_MULTIPASS", "pallas")
+        if impl != "xla" and self._jax.default_backend() == "tpu":
+            from blt_tpu.ops.bpe_pallas import ShardedTokenEncoder
+
+            if ShardedTokenEncoder.supports(table):
+                yield from self._bpe_multipass_sharded_pallas(
+                    chunks, table, chunk_hint
+                )
+                return
+        yield from self._bpe_multipass_sharded_xla(chunks, table, chunk_hint)
+
+    def _bpe_multipass_sharded_pallas(
+        self, chunks: Iterable[np.ndarray], table: MergeTable, chunk_hint: int
+    ) -> Iterator[bytes]:
+        from blt_tpu.ops.bpe_pallas import ShardedTokenEncoder
+
+        enc = ShardedTokenEncoder(
+            table, self.mesh, capacity_tokens=align_up(chunk_hint)
+        )
+        group: list = []
+
+        def flush():
+            if not group:
+                return
+            for toks in enc.encode_batch(group):
+                yield toks.astype(">u2")
+            group.clear()
+
+        for chunk in chunks:
+            if chunk.shape[0] == 0:
+                continue
+            group.append(chunk)
+            if len(group) == self.n_rows:
+                yield from flush()
+        yield from flush()
+
+    def _bpe_multipass_sharded_xla(
+        self, chunks: Iterable[np.ndarray], table: MergeTable, chunk_hint: int
+    ) -> Iterator[bytes]:
         from blt_tpu.ops import bpe_jax
 
         jax = self._jax

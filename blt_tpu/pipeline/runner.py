@@ -115,7 +115,8 @@ def _drain_to_writer(results: Iterator, writer: OutputWriter) -> None:
     with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
         prev: Optional[concurrent.futures.Future] = None
         for chunk_id, data in enumerate(results):
-            with span(log, "drain_chunk", chunk_id=chunk_id, bytes=len(data)):
+            nbytes = getattr(data, "nbytes", None) or len(data)
+            with span(log, "drain_chunk", chunk_id=chunk_id, bytes=nbytes):
                 if prev is not None:
                     prev.result()
                 prev = pool.submit(writer.write, data)

@@ -60,7 +60,7 @@ def test_flat_bpe_vs_numpy_with_carries():
         nb = int(data[cut]) if cut < n else -1
         o1, c1 = native.flat_bpe(data[:cut], table.dense, False, nb, 2)
         o2, _ = native.flat_bpe(data[cut:], table.dense, c1, -1, 2)
-        assert o1 + o2 == expected
+        assert bytes(o1) + bytes(o2) == expected
 
 
 def test_filter_slots_native_matches_python():

@@ -324,3 +324,62 @@ def test_sharded_engine_stream_short_reads_carry(tmp_path, monkeypatch):
     run_tokenizer(CoreConfig.new_from_cli(
         input=ip, output=op2, merges=mp, engine=Engine.NUMPY))
     assert op1.read_bytes() == op2.read_bytes()
+
+
+class TestShardedTokenEncoder:
+    """Row-parallel Pallas multipass over the mesh (interpret mode)."""
+
+    def test_encode_batch_matches_oracle(self):
+        from blt_tpu.merges import MergeTable
+        from blt_tpu.ops.bpe_oracle import bpe_encode_oracle
+        from blt_tpu.ops.bpe_pallas import ShardedTokenEncoder
+        from blt_tpu.parallel.mesh import make_mesh
+
+        merges = {(97, 98): 256, (256, 99): 257, (257, 257): 258}
+        table = MergeTable.build(merges)
+        assert ShardedTokenEncoder.supports(table)
+        mesh = make_mesh()
+        rng = np.random.default_rng(13)
+        chunks = [
+            rng.choice(np.frombuffer(b"abcabcde", np.uint8), size=s)
+            for s in (1500, 3000, 1, 2, 700, 2048, 999, 10)
+        ]
+        enc = ShardedTokenEncoder(
+            table, mesh, interpret=True, capacity_tokens=4096,
+            rows_per_block=8,
+        )
+        got = enc.encode_batch(chunks)
+        for chunk, toks in zip(chunks, got):
+            expected = bpe_encode_oracle(chunk.tobytes(), merges)
+            assert toks.tolist() == list(expected), chunk.shape
+
+    def test_sharded_engine_multipass_pallas_route(self, monkeypatch):
+        """The shard engine must route hierarchical tables through the
+        Pallas path on TPU backends (VERDICT r1 item 5)."""
+        from blt_tpu.merges import MergeTable
+        from blt_tpu.pipeline import engines as eng
+
+        engine = eng.ShardedJaxEngine()
+
+        class FakeJax:
+            def __getattr__(self, name):
+                import jax
+
+                return getattr(jax, name)
+
+            def default_backend(self):
+                return "tpu"
+
+        engine._jax = FakeJax()
+        called = {}
+
+        def fake_pallas(chunks, table, hint):
+            called["pallas"] = True
+            yield b""
+
+        monkeypatch.setattr(
+            engine, "_bpe_multipass_sharded_pallas", fake_pallas
+        )
+        table = MergeTable.build({(97, 98): 256, (256, 99): 257})
+        list(engine.bpe_stream(iter([np.zeros(4, np.uint8)]), table, 1024))
+        assert called.get("pallas")
