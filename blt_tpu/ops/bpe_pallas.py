@@ -76,15 +76,22 @@ def _tree_lookup(e_ref, h):
     return acc
 
 
-def _tree_lookup_loop(e_ref, h, unroll: int = 32):
-    """Partially unrolled gather chain for many-segment tables.
+def _tree_lookup_sparse(e_ref, segs_ref, h, unroll: int = 8):
+    """Occupancy-compressed gather chain for the packed-dense table.
 
-    A fully unrolled 256-segment chain keeps every iteration's temporaries
-    live and blows the Mosaic scoped-VMEM stack (63MB vs the 16MB limit);
-    a fully rolled fori_loop pays a scalar-unit branch per segment that
-    stalls the vector pipeline (~3x slower measured). ``unroll`` segments
-    per fori_loop iteration amortizes the loop overhead while keeping the
-    live set bounded.
+    Packed-dense segment k holds exactly the pairs whose FIRST byte is k,
+    so only segments whose first byte appears in some rule can ever hit:
+    the encoder ships the compacted table rows plus their original segment
+    ids (SMEM-prefetched), and the chain iterates over the occupied rows
+    only. Text-trained tables occupy ~50-100 of 256 segments, cutting the
+    per-byte gather count 2.5-5x; a worst-case table degrades gracefully
+    to the full chain. Partial unrolling (see below) keeps the live set
+    bounded: a fully unrolled 256-segment chain blows the Mosaic
+    scoped-VMEM stack (63MB vs the 16MB limit), while a fully rolled
+    fori_loop pays a scalar-unit branch per segment that stalls the
+    vector pipeline (~3x slower measured).
+
+    Returns 0 (= no rule in either packed half) for unmatched words.
     """
     r = h.shape[0]
     segs = e_ref.shape[0]
@@ -95,13 +102,14 @@ def _tree_lookup_loop(e_ref, h, unroll: int = 32):
     def body(k, acc):
         for u in range(unroll):
             idx = k * unroll + u
+            sid = segs_ref[idx]
             seg = jnp.broadcast_to(e_ref[pl.ds(idx, 1), :], (r, LANES))
             g = jnp.take_along_axis(seg, lo, axis=1)
-            acc = jnp.where(hi == idx, g, acc)
+            acc = jnp.where(hi == sid, g, acc)
         return acc
 
     return jax.lax.fori_loop(
-        0, segs // unroll, body, jnp.full(h.shape, -1, dtype=jnp.int32)
+        0, segs // unroll, body, jnp.zeros(h.shape, dtype=jnp.int32)
     )
 
 
@@ -174,17 +182,18 @@ def _make_kernel(direct: bool):
 
     def kernel(
         params_ref,  # SMEM int32[8]: length, _, next_byte, a1, a2, ffff, shift
+        segs_ref,  # SMEM int32[S]: occupied segment ids (packed-dense mode)
         carry_in_ref,  # SMEM (1,1) int32: cross-call carry (prior carry_out)
         data_ref,  # (R,128) uint8 block
         halo_ref,  # (8,128) uint8: first rows of the next block
-        e1_ref,  # (segs,128) int32 cuckoo table 1 / packed dense table
+        e1_ref,  # (S,128) int32 cuckoo table 1 / compacted packed table
         e2_ref,  # (segs,128) int32 cuckoo table 2 / dummy
         out_ref,  # (R,128) uint16 byteswapped token slots
         carry_out_ref,  # SMEM (1,1) int32
         carry_ref,  # SMEM scratch (1,) int32: inter-block carry
     ):
         return _kernel_body(
-            direct, params_ref, carry_in_ref, data_ref, halo_ref,
+            direct, params_ref, segs_ref, carry_in_ref, data_ref, halo_ref,
             e1_ref, e2_ref, out_ref, carry_out_ref, carry_ref,
         )
 
@@ -194,6 +203,7 @@ def _make_kernel(direct: bool):
 def _kernel_body(
     direct,
     params_ref,
+    segs_ref,
     carry_in_ref,
     data_ref,
     halo_ref,
@@ -231,8 +241,9 @@ def _kernel_body(
     p = d * 256 + nxt
     if direct:
         # packed dense table: word p>>1 holds values for pairs 2k, 2k+1
-        # (0 = no rule; legal sentinel since supported values are >= 256)
-        w = _tree_lookup_loop(e1_ref, p >> 1)
+        # (0 = no rule; legal sentinel since supported values are >= 256);
+        # only occupied segments are shipped and chained (segs_ref ids)
+        w = _tree_lookup_sparse(e1_ref, segs_ref, p >> 1)
         val = jnp.where((p & 1) == 1, (w >> 16) & 0xFFFF, w & 0xFFFF)
         m = val != 0
     else:
@@ -287,9 +298,10 @@ def _kernel_body(
 )
 def _flat_encode_pallas_call(
     params: jnp.ndarray,  # int32[8]
+    segs: jnp.ndarray,  # int32[S]: occupied segment ids (direct mode)
     carry_in: jnp.ndarray,  # int32[1,1] (a prior call's carry output)
     data3: jnp.ndarray,  # uint8[num_blocks*R + 8, 128] (halo rows)
-    e1: jnp.ndarray,  # int32[segs,128]
+    e1: jnp.ndarray,  # int32[S,128]
     e2: jnp.ndarray,  # int32[segs,128]
     interpret: bool = False,
     direct: bool = False,
@@ -302,20 +314,20 @@ def _flat_encode_pallas_call(
     out, carry = pl.pallas_call(
         _make_kernel(direct),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
-                    (1, 1), lambda i, params: (0, 0), memory_space=pltpu.SMEM
+                    (1, 1), lambda i, params, segs: (0, 0), memory_space=pltpu.SMEM
                 ),
                 pl.BlockSpec(
                     (rpb, LANES),
-                    lambda i, params: (i, 0),
+                    lambda i, params, segs: (i, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
                     (8, LANES),
-                    lambda i, params: ((i + 1) * rpb // 8, 0),
+                    lambda i, params, segs: ((i + 1) * rpb // 8, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -324,10 +336,12 @@ def _flat_encode_pallas_call(
             out_specs=(
                 pl.BlockSpec(
                     (rpb, LANES),
-                    lambda i, params: (i, 0),
+                    lambda i, params, segs: (i, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec((1, 1), lambda i, params: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (1, 1), lambda i, params, segs: (0, 0), memory_space=pltpu.SMEM
+                ),
             ),
             scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
         ),
@@ -339,7 +353,7 @@ def _flat_encode_pallas_call(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(params, carry_in, data3, data3, e1, e2)
+    )(params, segs, carry_in, data3, data3, e1, e2)
     return out, carry
 
 
@@ -386,16 +400,30 @@ class PallasFlatEncoder:
             self.a1 = a1
             self.a2 = a2
             self.has_ffff = has_ffff
+            self.segs = jnp.asarray(np.zeros(8, np.int32))  # unused
         else:
-            # Large tables: packed dense 64K-value table, direct lookup.
-            packed = table.build_packed_dense()
+            # Large tables: packed dense 64K-value table, direct lookup
+            # through an occupancy-compressed gather chain — segment k
+            # holds exactly the pairs with first byte k, so only first
+            # bytes that occur in some rule are shipped and chained.
+            packed = table.build_packed_dense().reshape(256, LANES)
+            occupied = np.unique(
+                np.array([a for (a, _) in table.merges], np.int32)
+            )
+            unroll = 8
+            s_pad = max(unroll, -(-occupied.shape[0] // unroll) * unroll)
+            seg_ids = np.full(s_pad, -1, np.int32)  # -1 never matches
+            seg_ids[: occupied.shape[0]] = occupied
+            compact = np.zeros((s_pad, LANES), np.int32)
+            compact[: occupied.shape[0]] = packed[occupied]
             self.direct = True
             self.shift = 0
-            self.e1 = jnp.asarray(packed.reshape(-1, LANES))  # (256,128)
+            self.e1 = jnp.asarray(compact)
             self.e2 = jnp.asarray(np.zeros((8, LANES), np.int32))
             self.a1 = 1
             self.a2 = 1
             self.has_ffff = False
+            self.segs = jnp.asarray(seg_ids)
         self.interpret = interpret
         self.capacity = (
             -(-capacity_bytes // self.block) * self.block
@@ -465,6 +493,7 @@ class PallasFlatEncoder:
             )
         out, carry = _flat_encode_pallas_call(
             params,
+            self.segs,
             carry_in,
             data3,
             self.e1,
@@ -532,6 +561,7 @@ def filter_slots(slots: np.ndarray, prev_token: int) -> Tuple[np.ndarray, int]:
 )
 def flat_encode_chained(
     params: jnp.ndarray,
+    segs: jnp.ndarray,
     carry_in: jnp.ndarray,
     data3: jnp.ndarray,
     e1: jnp.ndarray,
@@ -554,6 +584,7 @@ def flat_encode_chained(
     def body(c, _):
         out, c2 = _flat_encode_pallas_call(
             params,
+            segs,
             c,
             data3,
             e1,
@@ -567,6 +598,7 @@ def flat_encode_chained(
     carry, _ = jax.lax.scan(body, carry_in, None, length=k - 1)
     return _flat_encode_pallas_call(
         params,
+        segs,
         carry,
         data3,
         e1,

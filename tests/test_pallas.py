@@ -157,7 +157,7 @@ def test_chained_dispatch_matches_single():
     )
     zc = jnp.asarray(np.zeros((1, 1), np.int32))
     slots2, c2 = flat_encode_chained(
-        params, zc, buf.reshape(padded_rows, LANES), enc.e1, enc.e2,
+        params, enc.segs, zc, buf.reshape(padded_rows, LANES), enc.e1, enc.e2,
         k=3, interpret=True, direct=enc.direct,
         rows_per_block=enc.rows_per_block,
     )

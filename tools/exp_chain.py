@@ -85,7 +85,8 @@ def widen_chain(data2, tok, rpb=2048, k=K):
 def bpe_chain(params, carry, data3, e1, e2, rpb=1024, k=K, direct=False):
     for _ in range(k):
         out, carry = _flat_encode_pallas_call(
-            params, carry, data3, e1, e2, direct=direct, rows_per_block=rpb
+            params, jnp.zeros(8, jnp.int32), carry, data3, e1, e2,
+            direct=direct, rows_per_block=rpb
         )
     return carry
 

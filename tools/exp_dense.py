@@ -57,7 +57,7 @@ def main():
 
         def run():
             return flat_encode_chained(
-                params, zc, d3, enc.e1, enc.e2,
+                params, enc.segs, zc, d3, enc.e1, enc.e2,
                 k=K, direct=True, rows_per_block=rpb,
             )
 

@@ -123,7 +123,7 @@ def main():
 
         def run():
             return _flat_encode_pallas_call(
-                params, zc, d3, enc.e1, enc.e2,
+                params, enc.segs, zc, d3, enc.e1, enc.e2,
                 direct=enc.direct, rows_per_block=rpb,
             )[1]
 
