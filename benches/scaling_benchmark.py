@@ -31,13 +31,95 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def run_processes(nproc: int, mb_total: float, merges_lines: str) -> dict:
+    """Multi-PROCESS scaling: N real jax.distributed workers, one shared
+    output file, through the public multi-host runner (parallel/multihost).
+
+    Returns wall-clock + aggregate throughput; caller compares against a
+    1-process run for host-level scaling efficiency (BASELINE configs 4-5).
+    """
+    import socket
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    size = int(mb_total * 1024 * 1024)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    with tempfile.TemporaryDirectory() as td:
+        ip = os.path.join(td, "in.bin")
+        op = os.path.join(td, "out.bin")
+        mp = os.path.join(td, "m.txt")
+        rng = np.random.default_rng(0)
+        alphabet = np.frombuffer(b"etaoinshrdlu cmfwyp", np.uint8)
+        rng.choice(alphabet, size=size).astype(np.uint8).tofile(ip)
+        with open(mp, "w") as f:
+            f.write(merges_lines)
+        worker = (
+            "import sys\nimport jax\n"
+            "jax.config.update('jax_platforms','cpu')\n"
+            "from blt_tpu.cli import main\n"
+            "sys.exit(main(sys.argv[1:]))\n"
+        )
+        cli = ["-i", ip, "-o", op, "--merges", mp, "--engine", "numpy"]
+
+        def env_for(pid):
+            env = dict(os.environ)
+            env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+            if nproc > 1:
+                env["BLT_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+                env["BLT_NUM_PROCESSES"] = str(nproc)
+                env["BLT_PROCESS_ID"] = str(pid)
+            return env
+
+        t0 = time.perf_counter()
+        procs = [
+            __import__("subprocess").Popen(
+                [sys.executable, "-c", worker] + cli, env=env_for(pid),
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            )
+            for pid in range(nproc)
+        ]
+        for p in procs:
+            _, err = p.communicate(timeout=600)
+            assert p.returncode == 0, err.decode()
+        dt = time.perf_counter() - t0
+        out_bytes = os.path.getsize(op)
+    return {
+        "processes": nproc,
+        "input_bytes": size,
+        "output_bytes": out_bytes,
+        "wall_seconds": dt,
+        "bytes_per_sec_aggregate": size / dt,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mesh-sizes", default="")
     ap.add_argument("--mb", type=float, default=8.0, help="MB per device")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument(
+        "--processes", default="",
+        help="comma list of process counts: multi-process (jax.distributed) "
+             "host-scaling mode, e.g. --processes 1,2",
+    )
     args = ap.parse_args()
+
+    if args.processes:
+        merges_lines = "101 116\n116 97\n97 111\n32 101\n"
+        base = None
+        for n in [int(x) for x in args.processes.split(",") if x]:
+            rec = run_processes(n, args.mb, merges_lines)
+            if base is None:
+                base = rec["bytes_per_sec_aggregate"]
+            rec["scaling_efficiency_vs_1proc"] = (
+                rec["bytes_per_sec_aggregate"] / (base * rec["processes"])
+            )
+            print(json.dumps(rec), flush=True)
+        return
 
     if args.cpu:
         os.environ.setdefault(

@@ -217,12 +217,13 @@ class JaxEngine:
     def _bpe_pallas_stream(
         self, chunks: Iterable[np.ndarray], encoder, chunk_hint: int
     ) -> Iterator[bytes]:
-        """Pallas TPU kernel path: 3-stage overlapped pipeline.
+        """Pallas TPU kernel path: 4-stage overlapped pipeline.
 
         feed thread: pack into reused buffers + upload + dispatch (carry
-        chaining stays on-device and serial by construction); drain thread:
-        D2H + drop-after-merge filter. End-to-end rate is max(stage), not
-        sum(stage) — see blt_tpu/pipeline/feeder.py.
+        chaining stays on-device and serial by construction); d2h thread:
+        device->host transfer; filter thread: drop-after-merge drain (its
+        prev_tok carry is serial, making it a clean stage). End-to-end
+        rate is max(stage), not sum(stage) — see blt_tpu/pipeline/feeder.py.
         """
         import os
 
@@ -255,10 +256,13 @@ class JaxEngine:
             if prev_chunk is not None:
                 yield dispatch(prev_chunk, -1)
 
+        def d2h(items):
+            for slots_dev, n in items:
+                yield np.asarray(slots_dev).reshape(-1)[:n]
+
         def drain(items):
             prev_tok = 0
-            for slots_dev, n in items:
-                slots = np.asarray(slots_dev).reshape(-1)[:n]
+            for slots in items:
                 if use_native:
                     wire, prev_tok = native.filter_slots_native(
                         slots, prev_tok, threads
@@ -270,7 +274,8 @@ class JaxEngine:
                 yield wire
 
         yield from prefetch_iter(
-            drain(prefetch_iter(feed(), self.depth, "feed")),
+            drain(prefetch_iter(d2h(prefetch_iter(feed(), self.depth, "feed")),
+                                self.depth, "d2h")),
             self.depth,
             "drain",
         )
@@ -438,69 +443,76 @@ class ShardedJaxEngine(JaxEngine):
         self, chunks: Iterable[np.ndarray], chunk_hint: int
     ) -> Iterator[bytes]:
         from blt_tpu.parallel.sharded import sharded_basic_encode
+        from blt_tpu.pipeline.feeder import prefetch_iter
 
         row_bytes = self._row_bytes(chunk_hint)
-        pending = collections.deque()
 
-        def drain() -> bytes:
-            out, lengths = pending.popleft()
-            host = np.asarray(out)
-            return b"".join(
-                host[r, : lengths[r]].tobytes() for r in range(self.n_rows)
-            )
+        def feed():
+            for chunk in chunks:
+                if chunk.shape[0] == 0:
+                    continue
+                batch_d, _, lengths = self._layout(chunk, row_bytes)
+                yield sharded_basic_encode(batch_d), lengths
 
-        for chunk in chunks:
-            if chunk.shape[0] == 0:
-                continue
-            batch_d, _, lengths = self._layout(chunk, row_bytes)
-            pending.append((sharded_basic_encode(batch_d), lengths))
-            if len(pending) > self.depth:
-                yield drain()
-        while pending:
-            yield drain()
+        def drain(items):
+            for out, lengths in items:
+                host = np.asarray(out)
+                yield b"".join(
+                    host[r, : lengths[r]].tobytes() for r in range(self.n_rows)
+                )
+
+        yield from prefetch_iter(
+            drain(prefetch_iter(feed(), self.depth, "feed")),
+            self.depth,
+            "drain",
+        )
 
     def _bpe_flat_stream(
         self, chunks: Iterable[np.ndarray], table: MergeTable, chunk_hint: int
     ) -> Iterator[bytes]:
         from blt_tpu.parallel.sharded import sharded_flat_encode
+        from blt_tpu.pipeline.feeder import prefetch_iter
 
         row_bytes = self._row_bytes(chunk_hint)
         dense_d = self._jax.device_put(table.dense, self._rep_sh)
         jnp = self._jax.numpy
-        pending = collections.deque()
-        carry = jnp.asarray(False)  # replaced by device scalars per batch
 
-        def drain() -> bytes:
-            tokens_dev, counts_dev, lengths = pending.popleft()
-            tokens_h = np.asarray(tokens_dev)
-            counts_h = np.asarray(counts_dev)
-            return b"".join(
-                tokens_h[r, : counts_h[r]].astype(">u2").tobytes()
-                for r in range(self.n_rows)
-                if lengths[r]
-            )
+        def feed():
+            carry = jnp.asarray(False)  # device scalar after the first batch
+            prev: Optional[np.ndarray] = None
 
-        prev: Optional[np.ndarray] = None
-        for chunk in chunks:
-            if chunk.shape[0] == 0:
-                continue
-            if prev is not None:
-                batch_d, lengths_d, lengths = self._layout(prev, row_bytes)
+            def dispatch(data: np.ndarray, next_byte: int):
+                nonlocal carry
+                batch_d, lengths_d, lengths = self._layout(data, row_bytes)
                 tokens, counts, carry = sharded_flat_encode(
-                    batch_d, lengths_d, dense_d, carry, jnp.int32(chunk[0])
+                    batch_d, lengths_d, dense_d, carry, jnp.int32(next_byte)
                 )
-                pending.append((tokens, counts, lengths))
-                if len(pending) > self.depth:
-                    yield drain()
-            prev = chunk
-        if prev is not None:
-            batch_d, lengths_d, lengths = self._layout(prev, row_bytes)
-            tokens, counts, _ = sharded_flat_encode(
-                batch_d, lengths_d, dense_d, carry, jnp.int32(-1)
-            )
-            pending.append((tokens, counts, lengths))
-        while pending:
-            yield drain()
+                return tokens, counts, lengths
+
+            for chunk in chunks:
+                if chunk.shape[0] == 0:
+                    continue
+                if prev is not None:
+                    yield dispatch(prev, int(chunk[0]))
+                prev = chunk
+            if prev is not None:
+                yield dispatch(prev, -1)
+
+        def drain(items):
+            for tokens_dev, counts_dev, lengths in items:
+                tokens_h = np.asarray(tokens_dev)
+                counts_h = np.asarray(counts_dev)
+                yield b"".join(
+                    tokens_h[r, : counts_h[r]].astype(">u2").tobytes()
+                    for r in range(self.n_rows)
+                    if lengths[r]
+                )
+
+        yield from prefetch_iter(
+            drain(prefetch_iter(feed(), self.depth, "feed")),
+            self.depth,
+            "drain",
+        )
 
     def _bpe_multipass_stream(
         self, chunks: Iterable[np.ndarray], table: MergeTable, chunk_hint: int
