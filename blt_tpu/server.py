@@ -140,15 +140,33 @@ def make_server(
     port: int = 8149,
     merges_path: Optional[Path] = None,
     threads: int = 0,
+    engine: str = "numpy",
 ) -> ThreadingHTTPServer:
-    """Build a ready-to-serve HTTP server (port 0 = ephemeral, for tests)."""
+    """Build a ready-to-serve HTTP server (port 0 = ephemeral, for tests).
+
+    engine="numpy" (default) serves on the host engine — service payloads
+    are usually latency-bound, where device dispatch overhead dominates.
+    engine="jax"/"shard" serves large-batch workloads on the accelerator
+    (one engine instance shared across the handler pool; engine streams
+    are re-entrant per request since each request runs its own stream).
+    """
     table = None
     if merges_path is not None:
         table = MergeTable.build(load_bpe_merges_from_path(merges_path))
+    if engine == "jax":
+        from blt_tpu.pipeline.engines import JaxEngine
+
+        eng = JaxEngine()
+    elif engine == "shard":
+        from blt_tpu.pipeline.engines import ShardedJaxEngine
+
+        eng = ShardedJaxEngine()
+    else:
+        eng = NumpyEngine(threads)
     handler = type(
         "BoundHandler",
         (_Handler,),
-        {"table": table, "engine": NumpyEngine(threads)},
+        {"table": table, "engine": eng},
     )
     return ThreadingHTTPServer((host, port), handler)
 
@@ -164,11 +182,16 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                    help="BPE merges file (server tokenizes in BPE mode)")
     p.add_argument("--threads", type=int, default=0,
                    help="Host engine worker threads (0 = auto)")
+    p.add_argument("--engine", default="numpy",
+                   choices=["numpy", "jax", "shard"],
+                   help="Compute backend (numpy: latency-bound payloads; "
+                        "jax/shard: large-batch device serving)")
     args = p.parse_args(argv)
     try:
         server = make_server(
             args.host, args.port,
             Path(args.merges) if args.merges else None, args.threads,
+            engine=args.engine,
         )
     except (OSError, ValueError) as e:
         print(f"Error starting server: {e}", file=sys.stderr)

@@ -79,3 +79,25 @@ def test_wire_helper_basic_matches_oracle():
     data = bytes(range(256))
     wire = tokenize_bytes_wire(data)
     assert wire == tokens_to_be_bytes(bpe_encode_oracle(data, {}))
+
+
+def test_server_engine_option_jax():
+    """--engine jax serves identical bytes via the device-engine path
+    (CPU backend in tests: exercises the XLA stream)."""
+    import http.client
+
+    from blt_tpu.server import make_server
+
+    server = make_server("127.0.0.1", 0, None, 0, engine="jax")
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("POST", "/tokenize", body=b"hello")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.read() == bytes(b for ch in b"hello" for b in (0, ch))
+    finally:
+        server.shutdown()
+        server.server_close()
