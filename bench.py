@@ -200,113 +200,134 @@ def main() -> None:
     log(f"bpe prefix-exactness: {exact}")
     del slots, carry, d3
 
-    # --- FULL exactness on real hardware: chained batches, whole output,
-    # all three kernel paths (cuckoo / packed-dense / multipass) vs the
-    # host reference with explicit carries ---
+    # --- Extra recorded sections (fail-soft: the headline metric must
+    # print even if an extra section breaks or is killed mid-way on a
+    # fresh machine; each section updates `extras` incrementally) ---
     exact_full = {}
-
-    def full_check(name, tbl, batch_mb):
-        from blt_tpu.ops.bpe_numpy import bpe_encode_flat_carry
-
-        nb_ = batch_mb * 1024 * 1024
-        encN = PallasFlatEncoder(tbl, capacity_bytes=nb_, rows_per_block=BPE_RPB)
-        b1 = host[:nb_]
-        b2 = np.roll(host, 1_000_003)[:nb_]  # distinct second batch
-        s1, _, c1 = encN.encode(b1, False, int(b2[0]))
-        s2, _, c2 = encN.encode(b2, c1, -1)
-        t1, prev = filter_slots(np.asarray(s1).reshape(-1)[:nb_], 0)
-        t2, _ = filter_slots(np.asarray(s2).reshape(-1)[:nb_], prev)
-        got = np.frombuffer(bytes(t1) + bytes(t2), ">u2").astype(np.int64)
-        e1, ca = bpe_encode_flat_carry(b1, tbl, False, int(b2[0]))
-        e2, _ = bpe_encode_flat_carry(b2, tbl, ca, -1)
-        expected = np.concatenate([e1, e2])
-        ok = got.shape == expected.shape and bool((got == expected).all())
-        log(f"exact_full[{name}] ({2*batch_mb}MB chained): {ok}")
-        exact_full[name] = ok
-        return encN
-
-    full_check("cuckoo", table, 64)
-
-    # packed-dense path: >8K rules forces the direct kernel
-    rngd = np.random.default_rng(1)
-    dense_pairs = rngd.permutation(65536)[:50_000]
-    dense_merges = {
-        (int(p) // 256, int(p) % 256): 256 + i
-        for i, p in enumerate(dense_pairs)
+    extras = {
+        "exact_full_chained_vs_host": exact_full,
+        "packed_dense_50k_bytes_per_sec": None,
+        "e2e_file_to_file": {},
+        "interconnect_roofline": None,
     }
-    dense_table = MergeTable.build(dense_merges)
-    enc_dense = full_check("packed_dense", dense_table, 16)
-    assert enc_dense.direct
 
-    # packed-dense steady-state rate (chained dispatch, same protocol)
-    nd = 16 * 1024 * 1024
-    num_blocks = nd // enc_dense.block
-    padded_rows = num_blocks * enc_dense.rows_per_block + 8
-    bufd = np.zeros((padded_rows * LANES,), np.uint8)
-    bufd[:nd] = host[:nd]
-    d3d = jax.device_put(bufd.reshape(padded_rows, LANES))
-    paramsd = jnp.asarray(
-        np.array(
-            [nd, 0, -1, enc_dense.a1, enc_dense.a2, 0, enc_dense.shift, 0],
-            np.int32,
+    def run_extras():
+        # --- FULL exactness on real hardware: chained batches, whole output,
+        # all three kernel paths (cuckoo / packed-dense / multipass) vs the
+        # host reference with explicit carries ---
+    
+        def full_check(name, tbl, batch_mb):
+            from blt_tpu.ops.bpe_numpy import bpe_encode_flat_carry
+
+            nb_ = batch_mb * 1024 * 1024
+            encN = PallasFlatEncoder(tbl, capacity_bytes=nb_, rows_per_block=BPE_RPB)
+            b1 = host[:nb_]
+            b2 = np.roll(host, 1_000_003)[:nb_]  # distinct second batch
+            s1, _, c1 = encN.encode(b1, False, int(b2[0]))
+            s2, _, c2 = encN.encode(b2, c1, -1)
+            t1, prev = filter_slots(np.asarray(s1).reshape(-1)[:nb_], 0)
+            t2, _ = filter_slots(np.asarray(s2).reshape(-1)[:nb_], prev)
+            got = np.frombuffer(bytes(t1) + bytes(t2), ">u2").astype(np.int64)
+            e1, ca = bpe_encode_flat_carry(b1, tbl, False, int(b2[0]))
+            e2, _ = bpe_encode_flat_carry(b2, tbl, ca, -1)
+            expected = np.concatenate([e1, e2])
+            ok = got.shape == expected.shape and bool((got == expected).all())
+            log(f"exact_full[{name}] ({2*batch_mb}MB chained): {ok}")
+            exact_full[name] = ok
+            return encN
+
+        full_check("cuckoo", table, 64)
+
+        # packed-dense path: >8K rules forces the direct kernel
+        rngd = np.random.default_rng(1)
+        dense_pairs = rngd.permutation(65536)[:50_000]
+        dense_merges = {
+            (int(p) // 256, int(p) % 256): 256 + i
+            for i, p in enumerate(dense_pairs)
+        }
+        dense_table = MergeTable.build(dense_merges)
+        enc_dense = full_check("packed_dense", dense_table, 16)
+        assert enc_dense.direct
+
+        # packed-dense steady-state rate (chained dispatch, same protocol)
+        nd = 16 * 1024 * 1024
+        num_blocks = nd // enc_dense.block
+        padded_rows = num_blocks * enc_dense.rows_per_block + 8
+        bufd = np.zeros((padded_rows * LANES,), np.uint8)
+        bufd[:nd] = host[:nd]
+        d3d = jax.device_put(bufd.reshape(padded_rows, LANES))
+        paramsd = jnp.asarray(
+            np.array(
+                [nd, 0, -1, enc_dense.a1, enc_dense.a2, 0, enc_dense.shift, 0],
+                np.int32,
+            )
         )
-    )
-    zcd = jax.device_put(np.zeros((1, 1), np.int32))
+        zcd = jax.device_put(np.zeros((1, 1), np.int32))
 
-    def run_dense():
-        return flat_encode_chained(
-            paramsd, enc_dense.segs, zcd, d3d, enc_dense.e1, enc_dense.e2,
-            k=K_BPE, direct=True, rows_per_block=enc_dense.rows_per_block,
-        )
+        def run_dense():
+            return flat_encode_chained(
+                paramsd, enc_dense.segs, zcd, d3d, enc_dense.e1, enc_dense.e2,
+                k=K_BPE, direct=True, rows_per_block=enc_dense.rows_per_block,
+            )
 
-    _, cd = run_dense()
-    force(cd)
-    t0 = time.perf_counter()
-    for _ in range(REPS):
         _, cd = run_dense()
-    force(cd)
-    dense_bps = nd * K_BPE * REPS / (time.perf_counter() - t0)
-    log(f"packed-dense (50k rules): {dense_bps/1e9:.2f} GB/s")
+        force(cd)
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            _, cd = run_dense()
+        force(cd)
+        dense_bps = nd * K_BPE * REPS / (time.perf_counter() - t0)
+        log(f"packed-dense (50k rules): {dense_bps/1e9:.2f} GB/s")
 
-    # multipass token kernel (hierarchical table) vs the host oracle
-    from blt_tpu.ops.bpe_numpy import bpe_encode_multipass
-    from blt_tpu.ops.bpe_pallas import PallasTokenEncoder
+        # multipass token kernel (hierarchical table) vs the host oracle
+        from blt_tpu.ops.bpe_numpy import bpe_encode_multipass
+        from blt_tpu.ops.bpe_pallas import PallasTokenEncoder
 
-    hier = {(97, 98): 256, (256, 99): 257, (257, 257): 258, (32, 97): 259}
-    hier_table = MergeTable.build(hier)
-    enc_tok = PallasTokenEncoder(hier_table, capacity_tokens=8 * 1024 * 1024)
-    chunk = host[: 8 * 1024 * 1024]
-    got_mp = enc_tok.encode(chunk)
-    exp_mp = bpe_encode_multipass(chunk, hier_table)
-    okm = got_mp.shape == exp_mp.shape and bool((got_mp == exp_mp).all())
-    log(f"exact_full[multipass] (8MB): {okm}")
-    exact_full["multipass"] = okm
+        hier = {(97, 98): 256, (256, 99): 257, (257, 257): 258, (32, 97): 259}
+        hier_table = MergeTable.build(hier)
+        enc_tok = PallasTokenEncoder(hier_table, capacity_tokens=8 * 1024 * 1024)
+        chunk = host[: 8 * 1024 * 1024]
+        got_mp = enc_tok.encode(chunk)
+        exp_mp = bpe_encode_multipass(chunk, hier_table)
+        okm = got_mp.shape == exp_mp.shape and bool((got_mp == exp_mp).all())
+        log(f"exact_full[multipass] (8MB): {okm}")
+        exact_full["multipass"] = okm
 
-    # --- end-to-end file->file through the real pipeline (device engine)
-    # + the interconnect roofline that bounds it on this machine ---
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from benches.pipeline_benchmark import make_file, measure_roofline, run_once
+        # --- end-to-end file->file through the real pipeline (device engine)
+        # + the interconnect roofline that bounds it on this machine ---
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from benches.pipeline_benchmark import make_file, measure_roofline, run_once
 
-    roofline = measure_roofline()
-    log(f"roofline: {roofline}")
-    e2e = {}
-    import tempfile
+        roofline = measure_roofline()
+        log(f"roofline: {roofline}")
+        e2e = {}
+        import tempfile
 
-    from blt_tpu.config import Engine
+        from blt_tpu.config import Engine
 
-    with tempfile.TemporaryDirectory() as td:
-        ip = os.path.join(td, "in.bin")
-        op = os.path.join(td, "out.bin")
-        mp = os.path.join(td, "m.txt")
-        size = 100 * 1024 * 1024
-        make_file(ip, size)
-        with open(mp, "w") as f:
-            for a, b in [(101, 116), (116, 97), (97, 111), (32, 101)]:
-                f.write(f"{a} {b}\n")
-        for mode in ("basic", "bpe"):
-            dt = run_once(ip, op, mode, Engine.JAX, mp)
-            e2e[f"{mode}_100mb_bytes_per_sec"] = size / dt
-            log(f"e2e {mode} 100MB (jax engine): {size/dt/1e6:.1f} MB/s")
+        with tempfile.TemporaryDirectory() as td:
+            ip = os.path.join(td, "in.bin")
+            op = os.path.join(td, "out.bin")
+            mp = os.path.join(td, "m.txt")
+            size = 100 * 1024 * 1024
+            make_file(ip, size)
+            with open(mp, "w") as f:
+                for a, b in [(101, 116), (116, 97), (97, 111), (32, 101)]:
+                    f.write(f"{a} {b}\n")
+            for mode in ("basic", "bpe"):
+                dt = run_once(ip, op, mode, Engine.JAX, mp)
+                e2e[f"{mode}_100mb_bytes_per_sec"] = size / dt
+                log(f"e2e {mode} 100MB (jax engine): {size/dt/1e6:.1f} MB/s")
+
+        extras["packed_dense_50k_bytes_per_sec"] = dense_bps
+        extras["e2e_file_to_file"] = e2e
+        extras["interconnect_roofline"] = roofline
+
+    if os.environ.get("BLT_BENCH_EXTRAS", "1") != "0":
+        try:
+            run_extras()
+        except Exception as e:  # never lose the headline over an extra
+            log(f"extras section failed: {type(e).__name__}: {e}")
 
     value = float(np.sqrt(basic_bps * bpe_bps))
     print(
@@ -319,10 +340,7 @@ def main() -> None:
                 "basic_bytes_per_sec": basic_bps,
                 "bpe_bytes_per_sec": bpe_bps,
                 "bpe_exact_vs_oracle_prefix": bool(exact),
-                "exact_full_chained_vs_host": exact_full,
-                "packed_dense_50k_bytes_per_sec": dense_bps,
-                "e2e_file_to_file": e2e,
-                "interconnect_roofline": roofline,
+                **extras,
                 "backend": backend,
                 "buffer_bytes": N,
                 "chained_kernels_per_dispatch": {"basic": K_BASIC, "bpe": K_BPE},

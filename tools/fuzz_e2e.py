@@ -115,6 +115,26 @@ def one_trial(rng: np.random.Generator, trial: int, max_bytes: int) -> None:
                 f"chunk={chunksize}: {len(got)} vs {len(expected)} bytes"
             )
 
+    # multi-host split planning: safe splits must be merge-transparent for
+    # every fuzzed flat table/corpus (parallel/multihost.py)
+    if flat and merges and len(data):
+        from blt_tpu.ops.bpe_oracle import bpe_encode_oracle as oracle
+        from blt_tpu.parallel import multihost
+
+        nproc = int(rng.integers(2, 6))
+        mm = np.frombuffer(data, np.uint8)
+        bounds = multihost.safe_split_bounds(mm, table.dense, nproc)
+        parts = [
+            tokens_to_be_bytes(
+                oracle(data[bounds[i] : bounds[i + 1]], merges)
+            )
+            for i in range(nproc)
+        ]
+        assert header + b"".join(parts) == expected, (
+            f"trial {trial}: host-split assembly mismatch "
+            f"(nproc={nproc}, bounds={bounds})"
+        )
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
