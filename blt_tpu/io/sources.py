@@ -112,3 +112,51 @@ class OutputWriter:
 def setup_io(input_path: Optional[Path], output_path: Optional[Path]) -> Tuple[InputSource, OutputWriter]:
     """io_handler::setup_io analog (io_handler.rs:51-66)."""
     return InputSource(input_path), OutputWriter(output_path)
+
+
+def kernel_copy(src: InputSource, writer: OutputWriter) -> bool:
+    """Zero-copy file->file passthrough via copy_file_range/sendfile.
+
+    The reference's passthrough benches mmap + copy + buffered write
+    (tokenizer.rs:136-145 over pipeline.rs); for a pure identity map the
+    bytes never need to enter user space at all — the kernel moves pages
+    directly between the two file descriptions (reflink on supporting
+    filesystems, page-cache copy otherwise). Returns False when the pair
+    is not two regular files (stdin/stdout, sockets) or the syscall is
+    unavailable; the caller falls back to the engine stream.
+    """
+    if not src.is_mmap or src.path is None:
+        return False
+    if writer.path is None or str(writer.path) == "-" or not writer._own:
+        return False
+    copy_range = getattr(os, "copy_file_range", None)
+    sendfile = getattr(os, "sendfile", None)
+    if copy_range is None and sendfile is None:
+        return False
+    # Any already-buffered prefix (the content-type header) must land
+    # before the raw-fd copy.
+    writer.flush()
+    out_fd = writer._f.fileno()
+    remaining = src.size or 0
+    offset = 0
+    with open(src.path, "rb") as f:
+        in_fd = f.fileno()
+        while remaining > 0:
+            try:
+                if copy_range is not None:
+                    sent = copy_range(in_fd, out_fd, remaining, offset_src=offset)
+                else:
+                    sent = sendfile(out_fd, in_fd, offset, remaining)
+            except OSError:
+                # cross-filesystem / unsupported pairing: fall back cleanly
+                # only if nothing was moved yet, else resume byte-wise.
+                if offset == 0:
+                    return False
+                data = os.pread(in_fd, remaining, offset)
+                writer.write(data)
+                return True
+            if sent == 0:
+                break
+            offset += sent
+            remaining -= sent
+    return True

@@ -66,6 +66,16 @@ def run_tokenizer(config: CoreConfig) -> None:
         if config.content_type is not None:
             writer.write(config.content_type.token_value.to_bytes(2, "big"))
 
+        if mode == Mode.PASSTHROUGH:
+            from blt_tpu.io.sources import kernel_copy
+
+            # file->file identity map: kernel zero-copy (copy_file_range /
+            # sendfile) — the bytes never enter user space. Falls through to
+            # the engine stream for stdin/stdout or unsupported fd pairs.
+            if kernel_copy(src, writer):
+                log.info("Passthrough completed via kernel zero-copy")
+                return
+
         engine = select_engine(config.engine, src.size, config.num_threads)
         log.info("Using %s strategy on %s engine", mode.value, engine.name)
 

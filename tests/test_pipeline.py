@@ -80,6 +80,28 @@ def test_passthrough_pipeline(tmp_path, corpus):
     assert out == corpus
 
 
+def test_passthrough_kernel_copy_with_header(tmp_path, corpus):
+    """file->file passthrough takes the kernel zero-copy path; the
+    content-type header must land before the raw-fd copy."""
+    ip = tmp_path / "in.bin"
+    op = tmp_path / "out.bin"
+    ip.write_bytes(corpus)
+    config = CoreConfig.new_from_cli(
+        input=ip, output=op, passthrough=True, content_type=ContentType.VIDEO
+    )
+    run_tokenizer(config)
+    assert op.read_bytes() == bytes([0xFF, 0x04]) + corpus
+
+
+def test_passthrough_kernel_copy_empty_file(tmp_path):
+    ip = tmp_path / "in.bin"
+    op = tmp_path / "out.bin"
+    ip.write_bytes(b"")
+    config = CoreConfig.new_from_cli(input=ip, output=op, passthrough=True)
+    run_tokenizer(config)
+    assert op.read_bytes() == b""
+
+
 def test_content_type_with_bpe(tmp_path):
     data = b"ababab"
     out = run_with(
