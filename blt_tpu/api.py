@@ -76,6 +76,32 @@ class ByteTokenizer:
         """Tokenize input_path into output_path (u16-BE token stream)."""
         run_tokenizer(self._config(input_path, output_path))
 
+    def detokenize_file(self, input_path: str, output_path: str) -> None:
+        """Invert a token stream this tokenizer produced (decode).
+
+        A capability extension with no reference analog (the reference
+        cannot invert its own output): reads the u16-BE stream at
+        ``input_path``, verifies/strips the content-type header when this
+        tokenizer is configured with one, expands merges through the same
+        table, and writes the original bytes to ``output_path``. Raises
+        ValueError for non-invertible tables and malformed streams
+        (blt_tpu/ops/decode.py).
+        """
+        config = self._config(input_path, output_path)
+        config.decode_mode = True
+        run_tokenizer(config)
+
+    def detokenize_bytes(self, data: bytes) -> bytes:
+        """In-memory inverse of ``tokenize_bytes``'s wire form: u16-BE -> bytes."""
+        from blt_tpu.ops.decode import build_expansion_table, decode_wire
+
+        if len(data) % 2:
+            raise ValueError(
+                "token stream has an odd trailing byte (truncated u16 token)"
+            )
+        table = build_expansion_table(self.merges)
+        return decode_wire(np.frombuffer(data, np.uint8), table).tobytes()
+
     def tokenize_bytes(self, data: bytes) -> np.ndarray:
         """In-memory tokenization: bytes -> int32 token ids.
 

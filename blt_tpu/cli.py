@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="BPE merges file for advanced tokenization")
     p.add_argument("--passthrough", action="store_true",
                    help="Use passthrough mode (copy file without tokenization)")
+    p.add_argument("--decode", action="store_true",
+                   help="Invert a token stream produced by this tokenizer "
+                        "(u16-BE tokens -> original bytes; use the same "
+                        "--merges/--type the encoding run used)")
     p.add_argument("--type", dest="content_type", default=None,
                    choices=["text", "audio", "bin", "video"],
                    help="Prepend content-type token")
@@ -100,6 +104,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             chunksize=args.chunksize,
             memcap=args.memcap,
             passthrough=args.passthrough,
+            decode=args.decode,
             engine=Engine(args.engine),
         )
         run_tokenizer(config)

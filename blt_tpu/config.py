@@ -57,6 +57,9 @@ class Mode(enum.Enum):
     BASIC = "basic"
     BPE = "bpe"
     PASSTHROUGH = "passthrough"
+    # Inverse direction: u16-BE token stream -> original bytes. No reference
+    # analog (the reference cannot invert its own output); see ops/decode.py.
+    DECODE = "decode"
 
 
 class Engine(enum.Enum):
@@ -89,6 +92,7 @@ class CoreConfig:
     mem_cap_percent: int = 80
     bpe_data: Optional[BpeMerges] = None
     passthrough_mode: bool = False
+    decode_mode: bool = False
     engine: Engine = Engine.AUTO
     merge_table: Optional[MergeTable] = field(default=None, repr=False)
 
@@ -102,6 +106,7 @@ class CoreConfig:
         chunksize: Optional[str] = None,
         memcap: Optional[int] = None,
         passthrough: bool = False,
+        decode: bool = False,
         engine: Engine = Engine.AUTO,
     ) -> "CoreConfig":
         """Primary constructor: parse, validate, eagerly load merges.
@@ -139,6 +144,7 @@ class CoreConfig:
             mem_cap_percent=memcap if memcap is not None else 80,
             bpe_data=bpe_data,
             passthrough_mode=passthrough,
+            decode_mode=decode,
             engine=engine,
         )
 
@@ -156,9 +162,16 @@ class CoreConfig:
 
     @property
     def mode(self) -> Mode:
-        """Strategy selection truth table (lib.rs:271-282)."""
+        """Strategy selection truth table (lib.rs:271-282).
+
+        Passthrough keeps winning over everything (reference precedence);
+        decode inverts whichever encoding the other flags describe (merges
+        present -> BPE decode, else basic decode).
+        """
         if self.passthrough_mode:
             return Mode.PASSTHROUGH
+        if self.decode_mode:
+            return Mode.DECODE
         if self.bpe_data is not None:
             return Mode.BPE
         return Mode.BASIC

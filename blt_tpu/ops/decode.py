@@ -1,0 +1,175 @@
+"""Detokenization: invert a u16-BE token stream back to the original bytes.
+
+The reference cannot invert its own output — there is no decode path
+anywhere in it (verified: no decode/detokenize symbol in reference/src,
+blt_core/src, or blt_python/). This module closes that loop:
+``decode(encode(x)) == x`` for every mode, giving the conformance suite a
+roundtrip property the reference could never test.
+
+Semantics (exact inverse of the encoder's, SURVEY.md 2.1):
+
+- token ids 0-255 decode to their literal byte;
+- a rule value decodes to the recursive expansion of its pair through the
+  *final* merge map (last-line-wins, matching the encoder's id accounting,
+  reference: config_loader.rs:167-202);
+- ids >= 256 with no rule (including ids orphaned by duplicate-pair lines,
+  which the encoder can never emit) raise ``DecodeError``;
+- tables where decoding is ambiguous are rejected up front: a rule value
+  < 256 collides with the literal byte range (the encoder emits the same
+  token for both, e.g. the (120,121)->90 collision pinned by
+  tokenizer.rs:283-291), and two rules sharing one value make the inverse
+  non-functional.
+
+The kernel is a variable-length gather (np.repeat + cumsum indexing) —
+memory-bound host work with data-dependent output shape, which is exactly
+what XLA's static-shape model is worst at; the device adds nothing here,
+so decode runs on the host by design (the encoder's fixed-capacity Pallas
+machinery stays encode-only).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Mapping, Tuple
+
+import numpy as np
+
+from blt_tpu.merges import BpeMerges
+
+# Any id representable in a u16 token stream.
+_ID_SPACE = 1 << 16
+# Cap on the total expansion blob; a chain of hierarchical rules can grow
+# expansions exponentially (exp[v] = exp[a] + exp[b]), so an adversarial
+# in-memory table must fail loudly instead of allocating the universe.
+_MAX_BLOB_BYTES = 1 << 31
+
+
+class DecodeError(ValueError):
+    """Token stream or merge table cannot be decoded."""
+
+
+@dataclass
+class ExpansionTable:
+    """Per-id byte expansions, flattened for the vectorized gather.
+
+    ``blob[offsets[id] : offsets[id] + lengths[id]]`` is the byte expansion
+    of ``id``; ``lengths[id] == 0`` marks an id the decoder must reject.
+    """
+
+    blob: np.ndarray  # uint8[total]
+    offsets: np.ndarray  # int64[65536]
+    lengths: np.ndarray  # int64[65536]
+
+    @staticmethod
+    def build(merges: Mapping[Tuple[int, int], int]) -> "ExpansionTable":
+        by_value: dict[int, Tuple[int, int]] = {}
+        for (a, b), v in merges.items():
+            if v < 256:
+                raise DecodeError(
+                    f"merge table is not invertible: rule ({a},{b})->{v} "
+                    "collides with the literal byte range 0-255"
+                )
+            if v in by_value and by_value[v] != (a, b):
+                raise DecodeError(
+                    f"merge table is not invertible: token {v} is produced "
+                    f"by both {by_value[v]} and {(a, b)}"
+                )
+            by_value[v] = (a, b)
+
+        expansions: dict[int, bytes] = {}
+        blob_total = 0
+
+        def expand(token: int) -> None:
+            # Iterative post-order walk (hierarchical tables can nest deeper
+            # than the Python recursion limit).
+            nonlocal blob_total
+            stack = [token]
+            on_stack = {token}
+            while stack:
+                t = stack[-1]
+                if t in expansions or t < 256:
+                    on_stack.discard(stack.pop())
+                    continue
+                pair = by_value.get(t)
+                if pair is None:
+                    raise DecodeError(
+                        f"merge table is not invertible: rule member {t} "
+                        "is neither a byte nor any rule's value"
+                    )
+                deps = [m for m in pair if m >= 256 and m not in expansions]
+                pending = [m for m in deps if m not in on_stack]
+                if deps and not pending:
+                    # every unexpanded member is already being expanded
+                    # below us on the stack
+                    raise DecodeError(
+                        f"merge table is not invertible: rule cycle through "
+                        f"token {t}"
+                    )
+                if pending:
+                    stack.extend(pending)
+                    on_stack.update(pending)
+                    continue
+                on_stack.discard(stack.pop())
+                expansions[t] = b"".join(
+                    bytes([m]) if m < 256 else expansions[m] for m in pair
+                )
+                blob_total += len(expansions[t])
+                if blob_total > _MAX_BLOB_BYTES:
+                    raise DecodeError(
+                        "merge table expansions exceed the 2 GiB decode blob "
+                        "limit"
+                    )
+
+        for v in by_value:
+            expand(v)
+
+        lengths = np.zeros(_ID_SPACE, dtype=np.int64)
+        offsets = np.zeros(_ID_SPACE, dtype=np.int64)
+        parts = [np.arange(256, dtype=np.uint8)]
+        lengths[:256] = 1
+        offsets[:256] = np.arange(256)
+        pos = 256
+        for v in sorted(expansions):
+            e = expansions[v]
+            offsets[v] = pos
+            lengths[v] = len(e)
+            parts.append(np.frombuffer(e, dtype=np.uint8))
+            pos += len(e)
+        return ExpansionTable(
+            blob=np.concatenate(parts), offsets=offsets, lengths=lengths
+        )
+
+
+def build_expansion_table(merges: BpeMerges | None) -> ExpansionTable:
+    return ExpansionTable.build(merges or {})
+
+
+def decode_tokens(tokens: np.ndarray, table: ExpansionTable) -> np.ndarray:
+    """Vectorized id->bytes gather. ``tokens`` is any uint16/int array."""
+    tokens = np.ascontiguousarray(tokens).astype(np.int64, copy=False)
+    lens = table.lengths[tokens]
+    bad = np.nonzero(lens == 0)[0]
+    if bad.size:
+        i = int(bad[0])
+        raise DecodeError(
+            f"invalid token {int(tokens[i])} at position {i}: no such rule "
+            "in the merge table"
+        )
+    total = int(lens.sum())
+    ends = np.cumsum(lens)
+    # out position p belongs to token t with ends[t-1] <= p < ends[t];
+    # within-token offset = p - (ends[t] - lens[t]).
+    idx = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(ends - lens, lens)
+        + np.repeat(table.offsets[tokens], lens)
+    )
+    return table.blob[idx]
+
+
+def decode_wire(data: np.ndarray, table: ExpansionTable) -> np.ndarray:
+    """Decode a u16-BE wire chunk (even byte length) to raw bytes."""
+    assert data.shape[0] % 2 == 0, "wire chunk must be an even byte count"
+    tokens = data.view(np.uint8).reshape(-1, 2).astype(np.uint16)
+    tokens = (tokens[:, 0] << 8) | tokens[:, 1]
+    return decode_tokens(tokens, table)

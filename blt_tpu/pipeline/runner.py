@@ -63,6 +63,18 @@ def run_tokenizer(config: CoreConfig) -> None:
 
     src, writer = setup_io(config.input, config.output)
     try:
+        if mode == Mode.DECODE:
+            from blt_tpu.ops.decode import build_expansion_table
+
+            table = build_expansion_table(config.bpe_data)
+            results = _decode_stream(
+                src.chunks(effective_chunk_size), table, config.content_type
+            )
+            with maybe_profile():
+                _drain_to_writer(results, writer)
+            log.info("Detokenizer run completed successfully")
+            return
+
         if config.content_type is not None:
             writer.write(config.content_type.token_value.to_bytes(2, "big"))
 
@@ -114,6 +126,50 @@ def run_tokenizer(config: CoreConfig) -> None:
     finally:
         writer.close()
     log.info("Tokenizer run completed successfully")
+
+
+def _decode_stream(chunks, table, content_type) -> Iterator[np.ndarray]:
+    """Stream u16-BE wire chunks through the detokenizer.
+
+    Chunk boundaries may split a token (stream short reads are odd-length
+    at will, io/sources.py), so a sub-token byte carries to the next chunk.
+    With a content type configured, the leading header token is verified
+    and stripped — the exact inverse of the encoder's prepend.
+    """
+    from blt_tpu.ops.decode import DecodeError, decode_wire
+
+    carry = np.empty(0, dtype=np.uint8)
+    header_pending = content_type is not None
+    for chunk in chunks:
+        if chunk.shape[0] == 0:
+            continue
+        data = np.concatenate([carry, chunk]) if carry.size else chunk
+        if header_pending:
+            if data.shape[0] < 2:
+                carry = data.copy()
+                continue
+            tok = (int(data[0]) << 8) | int(data[1])
+            if tok != content_type.token_value:
+                raise DecodeError(
+                    f"expected content-type header 0x{content_type.token_value:04X} "
+                    f"({content_type.value}), found 0x{tok:04X}"
+                )
+            data = data[2:]
+            header_pending = False
+        n = data.shape[0] & ~1
+        if n:
+            yield decode_wire(data[:n], table)
+        carry = data[n:].copy()
+    if carry.size:
+        raise DecodeError(
+            "token stream has an odd trailing byte (truncated u16 token)"
+        )
+    if header_pending:
+        # the encoder emits the header even for empty input, so a stream
+        # that ends first is malformed
+        raise DecodeError(
+            "token stream ended before the expected content-type header"
+        )
 
 
 def _drain_to_writer(results: Iterator, writer: OutputWriter) -> None:

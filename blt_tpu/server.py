@@ -14,6 +14,9 @@ Endpoints:
          query params: mode=auto|passthrough (default auto: BPE when the
                        server was started with --merges, else basic);
                        type=text|audio|bin|video (optional header token)
+    POST /detokenize        -> u16-BE token wire in, original bytes out
+         query params: type=... (verify + strip the header token); uses
+                       the server's --merges table for rule expansion
 
 Run:  python -m blt_tpu.server [--port 8149] [--merges FILE] [--threads N]
 
@@ -70,6 +73,32 @@ def tokenize_bytes_wire(
     return header + b"".join(bytes(part) for part in stream)
 
 
+def detokenize_wire_bytes(
+    data: bytes,
+    table: Optional[MergeTable] = None,
+    content_type: Optional[ContentType] = None,
+) -> bytes:
+    """In-memory u16-BE wire stream -> original bytes (ops/decode.py)."""
+    from blt_tpu.ops.decode import DecodeError, build_expansion_table, decode_wire
+
+    if len(data) % 2:
+        raise DecodeError(
+            "token stream has an odd trailing byte (truncated u16 token)"
+        )
+    if content_type is not None:
+        if len(data) < 2:
+            raise DecodeError("token stream ended before the content-type header")
+        tok = (data[0] << 8) | data[1]
+        if tok != content_type.token_value:
+            raise DecodeError(
+                f"expected content-type header 0x{content_type.token_value:04X} "
+                f"({content_type.value}), found 0x{tok:04X}"
+            )
+        data = data[2:]
+    exp = build_expansion_table(table.merges if table is not None else None)
+    return decode_wire(np.frombuffer(data, np.uint8), exp).tobytes()
+
+
 class _Handler(BaseHTTPRequestHandler):
     server_version = f"blt-tpu/{__version__}"
     # set by serve(): table, engine
@@ -98,7 +127,7 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):
         url = urlparse(self.path)
-        if url.path != "/tokenize":
+        if url.path not in ("/tokenize", "/detokenize"):
             self._json(404, {"error": f"unknown path {url.path}"})
             return
         params = parse_qs(url.query)
@@ -117,13 +146,21 @@ class _Handler(BaseHTTPRequestHandler):
         length = int(self.headers.get("Content-Length", 0))
         data = self.rfile.read(length) if length else b""
         try:
-            wire = tokenize_bytes_wire(
-                data,
-                table=self.table,
-                passthrough=(mode == "passthrough"),
-                content_type=content_type,
-                engine=self.engine,
-            )
+            if url.path == "/detokenize":
+                wire = detokenize_wire_bytes(
+                    data, table=self.table, content_type=content_type
+                )
+            else:
+                wire = tokenize_bytes_wire(
+                    data,
+                    table=self.table,
+                    passthrough=(mode == "passthrough"),
+                    content_type=content_type,
+                    engine=self.engine,
+                )
+        except ValueError as e:  # malformed stream / table: client error
+            self._json(400, {"error": str(e)})
+            return
         except Exception as e:  # tokenization failure -> 500, not a crash
             log.error("tokenize failed: %s", e)
             self._json(500, {"error": str(e)})

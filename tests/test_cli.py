@@ -99,6 +99,22 @@ def test_cli_passthrough_with_type():
     assert r.stdout == u16be([0xFF03]) + b"raw"
 
 
+def test_cli_decode_roundtrip(tmp_path):
+    mp = tmp_path / "merges.txt"
+    mp.write_text("97 98\n")
+    enc = run_cli(["--merges", str(mp), "--type", "text"], b"ab c ab")
+    assert enc.returncode == 0, enc.stderr
+    dec = run_cli(["--decode", "--merges", str(mp), "--type", "text"], enc.stdout)
+    assert dec.returncode == 0, dec.stderr
+    assert dec.stdout == b"ab c ab"
+
+
+def test_cli_decode_error_surface():
+    r = run_cli(["--decode"], b"\x01\x00")  # token 256 with no merges table
+    assert r.returncode == 1
+    assert r.stderr.startswith(b"Error running tokenizer: invalid token 256")
+
+
 def test_cli_dash_convention(tmp_path):
     # '-' means stdin/stdout (README.md:102-103; unimplemented in reference)
     r = run_cli(["--input", "-", "--output", "-"], b"dash")

@@ -75,6 +75,25 @@ def test_bad_params(server_bpe):
     assert status == 404
 
 
+def test_detokenize_roundtrip(server_bpe):
+    payload = b"ab c ab ab"
+    _, wire = _request(server_bpe, "POST", "/tokenize?type=text", payload)
+    status, back = _request(server_bpe, "POST", "/detokenize?type=text", wire)
+    assert status == 200 and back == payload
+
+
+def test_detokenize_errors(server_bpe):
+    status, body = _request(server_bpe, "POST", "/detokenize", b"\x00")
+    assert status == 400 and b"odd trailing byte" in body
+    # token 300: not a rule in the server's 1-rule table
+    status, body = _request(server_bpe, "POST", "/detokenize", b"\x01\x2c")
+    assert status == 400 and b"invalid token 300" in body
+    # wrong header
+    status, body = _request(server_bpe, "POST", "/detokenize?type=text",
+                            b"\xff\x02\x00\x61")
+    assert status == 400 and b"expected content-type header" in body
+
+
 def test_wire_helper_basic_matches_oracle():
     data = bytes(range(256))
     wire = tokenize_bytes_wire(data)
