@@ -88,8 +88,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     from blt_tpu.config import ContentType, CoreConfig, Engine
     from blt_tpu.pipeline.runner import run_tokenizer
     from blt_tpu.utils.logging import configure
+    from blt_tpu.utils.platform import apply_platform_override
 
     configure()
+    apply_platform_override()
     args = build_parser().parse_args(argv)
 
     try:

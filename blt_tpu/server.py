@@ -209,7 +209,10 @@ def make_server(
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
+    from blt_tpu.utils.platform import apply_platform_override
+
     configure()
+    apply_platform_override()
     p = argparse.ArgumentParser(
         prog="blt-serve", description="HTTP tokenization service"
     )

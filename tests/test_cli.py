@@ -14,14 +14,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_cli(args, stdin=b""):
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    env["JAX_PLATFORMS"] = "cpu"
     return subprocess.run(
         [sys.executable, "-m", "blt_tpu.cli"] + args,
         input=stdin,
         capture_output=True,
-        env=env,
+        env=_env(),
         timeout=120,
     )
 
@@ -30,6 +27,11 @@ def _env():
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env["JAX_PLATFORMS"] = "cpu"
+    # site hooks on tunneled-TPU machines clobber JAX_PLATFORMS at
+    # interpreter startup; BLT_PLATFORM is applied after jax import by
+    # every entrypoint, keeping subprocesses off the real device (a first
+    # tunnel touch costs minutes).
+    env["BLT_PLATFORM"] = "cpu"
     return env
 
 

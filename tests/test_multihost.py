@@ -164,7 +164,7 @@ def test_two_process_distributed_matches_single(tmp_path, mode_args):
     r = subprocess.run(
         [sys.executable, "-m", "blt_tpu.cli", "-i", str(ip), "-o", str(op_ref),
          "--type", "text"] + args,
-        env={**os.environ, "PYTHONPATH": REPO, "JAX_PLATFORMS": "cpu"},
+        env={**os.environ, "PYTHONPATH": REPO, "JAX_PLATFORMS": "cpu", "BLT_PLATFORM": "cpu"},
         capture_output=True,
         timeout=300,
     )

@@ -169,6 +169,7 @@ def test_stdin_streaming_cli_parity(tmp_path):
     mp.write_text(MERGES_TEXT)
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["BLT_PLATFORM"] = "cpu"
     r = subprocess.run(
         [sys.executable, "-m", "blt_tpu.cli", "--merges", str(mp),
          "--chunksize", "256KB"],
