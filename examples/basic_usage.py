@@ -57,6 +57,11 @@ def demo_bpe_file():
         tok.tokenize_file(inp, out)
         toks = np.frombuffer(open(out, "rb").read(), ">u2")
         print(f"'abcd abcd' -> {toks.tolist()}")
+        # the inverse direction (extension: the reference cannot invert
+        # its own output)
+        back = os.path.join(d, "back.txt")
+        tok.detokenize_file(out, back)
+        print(f"decoded back: {open(back).read()!r}")
 
 
 def demo_configs():

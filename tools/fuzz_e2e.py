@@ -115,6 +115,35 @@ def one_trial(rng: np.random.Generator, trial: int, max_bytes: int) -> None:
                 f"chunk={chunksize}: {len(got)} vs {len(expected)} bytes"
             )
 
+    # decode roundtrip: every invertible fuzzed table must satisfy
+    # decode(encode(x)) == x through the real pipeline (ops/decode.py).
+    # Fuzzed values are unique and >= 256, so invertibility only depends
+    # on the expansion build succeeding (hierarchical chains stay acyclic
+    # by construction: new rules only reference earlier values).
+    with tempfile.TemporaryDirectory() as td:
+        enc = os.path.join(td, "enc.bin")
+        dec = os.path.join(td, "dec.bin")
+        with open(enc, "wb") as f:
+            f.write(expected)
+        dconfig = CoreConfig.new_from_cli(
+            input=enc, output=dec, content_type=ct, chunksize=chunksize,
+            decode=True,
+        )
+        if merges:
+            dconfig.with_merges(merges)
+        run_tokenizer(dconfig)
+        with open(dec, "rb") as f:
+            back = f.read()
+        if flat:
+            assert back == data, (
+                f"trial {trial}: decode roundtrip mismatch "
+                f"({len(back)} vs {len(data)} bytes)"
+            )
+        else:
+            # per-chunk encode of general tables still decodes to the
+            # original bytes (expansion is position-independent)
+            assert back == data, f"trial {trial}: hierarchical decode mismatch"
+
     # multi-host split planning: safe splits must be merge-transparent for
     # every fuzzed flat table/corpus (parallel/multihost.py)
     if flat and merges and len(data):
