@@ -53,8 +53,9 @@ def run_once(input_path, output_path, mode, engine, merges_path=None):
     config = CoreConfig.new_from_cli(
         input=input_path,
         output=output_path,
-        merges=merges_path if mode == "bpe" else None,
+        merges=merges_path if mode in ("bpe", "decode") else None,
         passthrough=(mode == "passthrough"),
+        decode=(mode == "decode"),
         engine=engine,
     )
     t0 = time.perf_counter()
@@ -135,16 +136,25 @@ def main():
             op = os.path.join(td, "out.bin")
             make_file(ip, size)
             for mode in args.modes.split(","):
+                src, nbytes = ip, size
+                if mode == "decode":
+                    # decode consumes a token wire stream: encode once
+                    # (untimed), then time the inverse direction
+                    src = os.path.join(td, f"wire_{name}.bin")
+                    run_once(ip, src, "bpe", engine, merges)
+                    nbytes = os.path.getsize(src)
                 times = [
-                    run_once(ip, op, mode, engine, merges)
+                    run_once(src, op, mode, engine, merges)
                     for _ in range(args.samples)
                 ]
+                if mode == "decode":
+                    os.unlink(src)
                 best = min(times)
                 rec = {
                     "workload": f"{mode}_{name}",
-                    "bytes": size,
+                    "bytes": nbytes,
                     "best_seconds": best,
-                    "bytes_per_sec": size / best,
+                    "bytes_per_sec": nbytes / best,
                     "samples": args.samples,
                     "engine": engine.value,
                 }

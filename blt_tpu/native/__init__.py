@@ -66,6 +66,22 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint16),  # last_out
             ctypes.c_int,  # threads
         ]
+        lib.blt_decode_size.restype = ctypes.c_int64
+        lib.blt_decode_size.argtypes = [
+            ctypes.c_void_p,  # wire
+            ctypes.c_size_t,  # n_tokens
+            ctypes.c_void_p,  # lengths
+            ctypes.c_int,  # threads
+        ]
+        lib.blt_decode_fill.argtypes = [
+            ctypes.c_void_p,  # wire
+            ctypes.c_size_t,  # n_tokens
+            ctypes.c_void_p,  # offsets
+            ctypes.c_void_p,  # lengths
+            ctypes.c_void_p,  # blob
+            ctypes.c_void_p,  # out
+            ctypes.c_int,  # threads
+        ]
         _lib = lib
     except OSError:
         _load_failed = True
@@ -126,6 +142,40 @@ def flat_bpe(
         threads,
     )
     return memoryview(out)[: 2 * count], bool(carry_out.value)
+
+
+def decode_expand(
+    wire: np.ndarray,
+    offsets: np.ndarray,
+    lengths: np.ndarray,
+    blob: np.ndarray,
+    threads: int = 0,
+):
+    """Detokenize a u16-BE wire array via the native two-phase expand.
+
+    Returns the decoded uint8 array, or an int — the position of the first
+    invalid token (caller raises DecodeError with it).
+    """
+    lib = load()
+    assert lib is not None
+    wire = np.ascontiguousarray(wire)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int32)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+    blob = np.ascontiguousarray(blob, dtype=np.uint8)
+    n_tokens = wire.shape[0] // 2
+    if threads <= 0:
+        threads = os.cpu_count() or 1
+    total = lib.blt_decode_size(
+        wire.ctypes.data, n_tokens, lengths.ctypes.data, threads
+    )
+    if total < 0:
+        return int(-total - 1)
+    out = np.empty(int(total), np.uint8)
+    lib.blt_decode_fill(
+        wire.ctypes.data, n_tokens, offsets.ctypes.data, lengths.ctypes.data,
+        blob.ctypes.data, out.ctypes.data, threads,
+    )
+    return out
 
 
 def filter_slots_native(

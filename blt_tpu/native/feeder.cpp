@@ -280,7 +280,115 @@ size_t blt_flat_bpe(const uint8_t* src, size_t n, const int32_t* dense,
   return (size_t)(w - out) / 2;
 }
 
-int blt_native_version() { return 1; }
+// Detokenize a u16-BE wire stream through per-id byte expansions
+// (tables built by blt_tpu/ops/decode.py: offsets/lengths int32[65536],
+// blob uint8). Two phases so the caller can allocate exactly:
+//
+//   blt_decode_size: sum of expansion lengths over the wire, or
+//                    -(token_index+1) at the first invalid id (length 0).
+//   blt_decode_fill: writes every token's expansion at its prefix offset.
+//
+// Both phases parallelize over token ranges; fill re-derives the range
+// start offsets with a cheap lengths-only pass (same deterministic
+// range split), so no state is carried between the two calls.
+int64_t blt_decode_size(const uint8_t* wire, size_t n_tokens,
+                        const int32_t* lengths, int threads) {
+  struct Ctx {
+    const uint8_t* wire;
+    const int32_t* lengths;
+    int64_t* sums;
+    int64_t* bad;  // first invalid token index per range, -1 if none
+    size_t per;
+  };
+  threads = clamp_threads(threads, n_tokens, 1 << 19);
+  std::vector<int64_t> sums(threads, 0);
+  std::vector<int64_t> bad(threads, -1);
+  size_t per = (n_tokens + threads - 1) / threads;
+  Ctx ctx{wire, lengths, sums.data(), bad.data(), per};
+  parallel_for(
+      threads, n_tokens,
+      [](size_t lo, size_t hi, void* p) {
+        auto* c = (Ctx*)p;
+        int t = (int)(lo / c->per);
+        int64_t sum = 0;
+        for (size_t i = lo; i < hi; ++i) {
+          uint32_t tok = ((uint32_t)c->wire[2 * i] << 8) | c->wire[2 * i + 1];
+          int32_t len = c->lengths[tok];
+          if (len == 0) {
+            if (c->bad[t] < 0) c->bad[t] = (int64_t)i;
+            return;
+          }
+          sum += len;
+        }
+        c->sums[t] = sum;
+      },
+      &ctx);
+  int64_t total = 0;
+  for (int t = 0; t < threads; ++t) {
+    if (bad[t] >= 0) return -(bad[t] + 1);
+    total += sums[t];
+  }
+  return total;
+}
+
+void blt_decode_fill(const uint8_t* wire, size_t n_tokens,
+                     const int32_t* offsets, const int32_t* lengths,
+                     const uint8_t* blob, uint8_t* out, int threads) {
+  struct Ctx {
+    const uint8_t* wire;
+    const int32_t* offsets;
+    const int32_t* lengths;
+    const uint8_t* blob;
+    uint8_t* out;
+    int64_t* starts;
+    size_t per;
+  };
+  threads = clamp_threads(threads, n_tokens, 1 << 19);
+  std::vector<int64_t> starts(threads, 0);
+  size_t per = (n_tokens + threads - 1) / threads;
+  Ctx ctx{wire, offsets, lengths, blob, out, starts.data(), per};
+  // pass 1: per-range output sizes
+  parallel_for(
+      threads, n_tokens,
+      [](size_t lo, size_t hi, void* p) {
+        auto* c = (Ctx*)p;
+        int t = (int)(lo / c->per);
+        int64_t sum = 0;
+        for (size_t i = lo; i < hi; ++i) {
+          uint32_t tok = ((uint32_t)c->wire[2 * i] << 8) | c->wire[2 * i + 1];
+          sum += c->lengths[tok];
+        }
+        c->starts[t] = sum;
+      },
+      &ctx);
+  int64_t acc = 0;
+  for (int t = 0; t < threads; ++t) {
+    int64_t s = starts[t];
+    starts[t] = acc;
+    acc += s;
+  }
+  // pass 2: expand at prefix offsets
+  parallel_for(
+      threads, n_tokens,
+      [](size_t lo, size_t hi, void* p) {
+        auto* c = (Ctx*)p;
+        int t = (int)(lo / c->per);
+        uint8_t* w = c->out + c->starts[t];
+        for (size_t i = lo; i < hi; ++i) {
+          uint32_t tok = ((uint32_t)c->wire[2 * i] << 8) | c->wire[2 * i + 1];
+          int32_t len = c->lengths[tok];
+          if (len == 1) {
+            *w++ = (uint8_t)tok;  // ids < 256 expand to themselves
+          } else {
+            memcpy(w, c->blob + c->offsets[tok], (size_t)len);
+            w += len;
+          }
+        }
+      },
+      &ctx);
+}
+
+int blt_native_version() { return 2; }
 
 }  // extern "C"
 

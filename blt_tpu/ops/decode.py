@@ -57,8 +57,8 @@ class ExpansionTable:
     """
 
     blob: np.ndarray  # uint8[total]
-    offsets: np.ndarray  # int64[65536]
-    lengths: np.ndarray  # int64[65536]
+    offsets: np.ndarray  # int32[65536] (blob is capped below 2 GiB)
+    lengths: np.ndarray  # int32[65536]
 
     @staticmethod
     def build(merges: Mapping[Tuple[int, int], int]) -> "ExpansionTable":
@@ -123,8 +123,8 @@ class ExpansionTable:
         for v in by_value:
             expand(v)
 
-        lengths = np.zeros(_ID_SPACE, dtype=np.int64)
-        offsets = np.zeros(_ID_SPACE, dtype=np.int64)
+        lengths = np.zeros(_ID_SPACE, dtype=np.int32)
+        offsets = np.zeros(_ID_SPACE, dtype=np.int32)
         parts = [np.arange(256, dtype=np.uint8)]
         lengths[:256] = 1
         offsets[:256] = np.arange(256)
@@ -146,7 +146,7 @@ def build_expansion_table(merges: BpeMerges | None) -> ExpansionTable:
 
 def decode_tokens(tokens: np.ndarray, table: ExpansionTable) -> np.ndarray:
     """Vectorized id->bytes gather. ``tokens`` is any uint16/int array."""
-    tokens = np.ascontiguousarray(tokens).astype(np.int64, copy=False)
+    tokens = np.ascontiguousarray(tokens).astype(np.int32, copy=False)
     lens = table.lengths[tokens]
     bad = np.nonzero(lens == 0)[0]
     if bad.size:
@@ -155,12 +155,14 @@ def decode_tokens(tokens: np.ndarray, table: ExpansionTable) -> np.ndarray:
             f"invalid token {int(tokens[i])} at position {i}: no such rule "
             "in the merge table"
         )
-    total = int(lens.sum())
-    ends = np.cumsum(lens)
+    total = int(lens.sum(dtype=np.int64))
+    ends = np.cumsum(lens, dtype=np.int64)
+    if total < np.iinfo(np.int32).max:
+        ends = ends.astype(np.int32)
     # out position p belongs to token t with ends[t-1] <= p < ends[t];
     # within-token offset = p - (ends[t] - lens[t]).
     idx = (
-        np.arange(total, dtype=np.int64)
+        np.arange(total, dtype=ends.dtype)
         - np.repeat(ends - lens, lens)
         + np.repeat(table.offsets[tokens], lens)
     )
@@ -168,8 +170,23 @@ def decode_tokens(tokens: np.ndarray, table: ExpansionTable) -> np.ndarray:
 
 
 def decode_wire(data: np.ndarray, table: ExpansionTable) -> np.ndarray:
-    """Decode a u16-BE wire chunk (even byte length) to raw bytes."""
+    """Decode a u16-BE wire chunk (even byte length) to raw bytes.
+
+    Uses the native engine when built (parse + expand fused, multithreaded,
+    blt_decode_size/_fill in native/feeder.cpp); NumPy otherwise.
+    """
     assert data.shape[0] % 2 == 0, "wire chunk must be an even byte count"
-    tokens = data.view(np.uint8).reshape(-1, 2).astype(np.uint16)
+    from blt_tpu import native
+
+    if native.available() and data.shape[0] >= 1 << 16:
+        out = native.decode_expand(data, table.offsets, table.lengths, table.blob)
+        if isinstance(out, int):  # first invalid token position
+            tok = (int(data[2 * out]) << 8) | int(data[2 * out + 1])
+            raise DecodeError(
+                f"invalid token {tok} at position {out}: no such rule "
+                "in the merge table"
+            )
+        return out
+    tokens = data.view(np.uint8).reshape(-1, 2).astype(np.int32)
     tokens = (tokens[:, 0] << 8) | tokens[:, 1]
     return decode_tokens(tokens, table)

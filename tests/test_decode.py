@@ -241,6 +241,46 @@ def test_api_detokenize_bytes():
         tok.detokenize_bytes(b"\x00")
 
 
+# --- native engine ------------------------------------------------------------
+
+
+def test_native_decode_matches_numpy():
+    """blt_decode_size/_fill (native/feeder.cpp) vs the NumPy gather,
+    including the invalid-token position contract."""
+    from blt_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    pairs = set()
+    while len(pairs) < 300:
+        pairs.add((int(rng.integers(0, 256)), int(rng.integers(0, 256))))
+    merges = {p: 256 + i for i, p in enumerate(sorted(pairs))}
+    table = build_expansion_table(merges)
+    tokens = rng.choice(
+        np.arange(0, 256 + len(merges)), 200_000
+    ).astype(np.uint16)
+    wire = np.empty(2 * tokens.shape[0], np.uint8)
+    wire[0::2] = (tokens >> 8).astype(np.uint8)
+    wire[1::2] = (tokens & 0xFF).astype(np.uint8)
+    expected = decode_tokens(tokens, table)
+    got = native.decode_expand(wire, table.offsets, table.lengths, table.blob)
+    assert not isinstance(got, int)
+    assert np.array_equal(got, expected)
+    # first invalid token position is reported exactly
+    bad = 256 + len(merges) + 7
+    wire[2 * 777] = bad >> 8
+    wire[2 * 777 + 1] = bad & 0xFF
+    assert native.decode_expand(
+        wire, table.offsets, table.lengths, table.blob
+    ) == 777
+    # and the decode_wire entry raises with that position
+    from blt_tpu.ops.decode import decode_wire
+
+    with pytest.raises(DecodeError, match=f"invalid token {bad} at position 777"):
+        decode_wire(wire, table)
+
+
 # --- hierarchical + fuzz ------------------------------------------------------
 
 
