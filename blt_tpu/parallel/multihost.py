@@ -144,6 +144,96 @@ def _allgather_counts(local_count: int) -> np.ndarray:
     ).reshape(-1)
 
 
+def _run_decode_distributed(
+    config: CoreConfig, mm, total: int, pid: int, nproc: int
+) -> None:
+    """Multi-process decode: token-aligned even split, spooled assembly.
+
+    Decode is token-independent (each id expands in isolation,
+    ops/decode.py), so any even-offset boundary after the verified header
+    is transparent; every host verifies the header (cheap, and keeps the
+    error surface identical on all ranks), decodes its token range, and
+    places its bytes at the all-gathered offset exactly like the BPE
+    encode path.
+    """
+    import jax  # noqa: F401  (jax.distributed already initialized)
+
+    from blt_tpu.ops.decode import DecodeError, build_expansion_table, decode_wire
+
+    base = 0
+    if config.content_type is not None:
+        want = config.content_type.token_value
+        if total < 2:
+            raise DecodeError(
+                "token stream ended before the expected content-type header"
+            )
+        tok = (int(mm[0]) << 8) | int(mm[1])
+        if tok != want:
+            raise DecodeError(
+                f"expected content-type header 0x{want:04X} "
+                f"({config.content_type.value}), found 0x{tok:04X}"
+            )
+        base = 2
+    if (total - base) % 2:
+        raise DecodeError(
+            "token stream has an odd trailing byte (truncated u16 token)"
+        )
+    n_tokens = (total - base) // 2
+    tok_bounds = even_bounds(n_tokens, nproc)
+    lo = base + 2 * tok_bounds[pid]
+    hi = base + 2 * tok_bounds[pid + 1]
+    log.info("host %d/%d: tokens [%d, %d) of %d", pid, nproc,
+             tok_bounds[pid], tok_bounds[pid + 1], n_tokens)
+
+    table = build_expansion_table(config.bpe_data)
+    feed = max(
+        get_effective_chunk_size(
+            config.cli_chunk_size, config.num_threads, config.mem_cap_percent
+        )
+        & ~1,
+        2,
+    )
+
+    fd = os.open(config.output, os.O_WRONLY | os.O_CREAT, 0o644)
+    try:
+        with tempfile.NamedTemporaryFile(
+            dir=os.path.dirname(os.path.abspath(config.output)) or ".",
+            prefix=".blt_spool_",
+            delete=False,
+        ) as spool:
+            spool_path = spool.name
+            local_count = 0
+            for start in range(lo, hi, feed):
+                out = decode_wire(mm[start : min(start + feed, hi)], table)
+                spool.write(out)
+                local_count += out.nbytes
+        try:
+            counts = (
+                _allgather_counts(local_count)
+                if nproc > 1
+                else np.array([local_count], np.int64)
+            )
+            off = int(counts[:pid].sum())
+            with open(spool_path, "rb") as sp:
+                while True:
+                    buf = sp.read(1 << 22)
+                    if not buf:
+                        break
+                    off += os.pwrite(fd, buf, off)
+        finally:
+            os.unlink(spool_path)
+        if pid == 0:
+            os.ftruncate(fd, int(counts.sum()))
+    finally:
+        os.close(fd)
+
+    if nproc > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("blt_decode_assembled")
+    log.info("host %d/%d: wrote %d bytes", pid, nproc, local_count)
+
+
 def run_tokenizer_distributed(config: CoreConfig) -> None:
     """Execute one multi-process tokenization run (file -> shared file).
 
@@ -171,11 +261,15 @@ def run_tokenizer_distributed(config: CoreConfig) -> None:
         else np.empty(0, np.uint8)
     )
 
+    mode = config.mode
+    if mode == Mode.DECODE:
+        _run_decode_distributed(config, mm, total, pid, nproc)
+        return
+
     bounds = plan_bounds(config, total, mm, nproc)
     lo, hi = bounds[pid], bounds[pid + 1]
     log.info("host %d/%d: bytes [%d, %d) of %d", pid, nproc, lo, hi, total)
 
-    mode = config.mode
     header = b""
     if config.content_type is not None:
         header = config.content_type.token_value.to_bytes(2, "big")

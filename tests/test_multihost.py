@@ -170,3 +170,52 @@ def test_two_process_distributed_matches_single(tmp_path, mode_args):
     )
     assert r.returncode == 0, r.stderr.decode()
     assert op.read_bytes() == op_ref.read_bytes()
+
+
+def test_two_process_distributed_decode(tmp_path):
+    """Two jax.distributed processes decoding one wire stream into one
+    shared file, byte-identical to the original input."""
+    rng = np.random.default_rng(13)
+    data = rng.choice(np.frombuffer(b"abcabc ab c", np.uint8), size=300_000)
+    ip = tmp_path / "in.bin"
+    wire = tmp_path / "wire.bin"
+    out = tmp_path / "back.bin"
+    mp = tmp_path / "m.txt"
+    ip.write_bytes(data.tobytes())
+    mp.write_text("".join(f"{a} {b}\n" for a, b in MERGES))
+
+    env1 = {**os.environ, "PYTHONPATH": REPO, "JAX_PLATFORMS": "cpu",
+            "BLT_PLATFORM": "cpu"}
+    r = subprocess.run(
+        [sys.executable, "-m", "blt_tpu.cli", "-i", str(ip), "-o", str(wire),
+         "--type", "bin", "--merges", str(mp)],
+        env=env1, capture_output=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr.decode()
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    def env_for(pid):
+        env = dict(env1)
+        env["BLT_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+        env["BLT_NUM_PROCESSES"] = "2"
+        env["BLT_PROCESS_ID"] = str(pid)
+        return env
+
+    cli = ["-i", str(wire), "-o", str(out), "--type", "bin",
+           "--merges", str(mp), "--decode"]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER] + cli,
+            env=env_for(pid),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for pid in range(2)
+    ]
+    for p in procs:
+        _, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()
+    assert out.read_bytes() == data.tobytes()

@@ -88,6 +88,14 @@ def bench_encoder(enc, host):
 
 
 def main():
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None,
+                    help="write the sweep as a JSON artifact here")
+    args = ap.parse_args()
+
     enable_compilation_cache()
     log(f"backend={jax.default_backend()}")
     import bench
@@ -95,6 +103,7 @@ def main():
     rng = np.random.default_rng(1)
     host = bench.make_corpus(rng, N)
 
+    points = []
     for rules, fb in ((50_000, 256), (30_000, 160), (12_000, 96), (9_000, 48)):
         table = make_table(rng, rules, fb)
         enc = PallasFlatEncoder(table, capacity_bytes=N, rows_per_block=RPB)
@@ -114,6 +123,27 @@ def main():
             f"rules={rules} occupied_segs={s}: {rate/1e9:.2f} GB/s "
             f"(exact_prefix={ok})"
         )
+        points.append({
+            "rules": rules,
+            "occupied_segments": s,
+            "bytes_per_sec": rate,
+            "gb_per_s_times_segs": rate * s / 1e9,  # ~constant => chain-bound
+            "exact_prefix": bool(ok),
+        })
+    if args.out and points:
+        artifact = {
+            "backend": jax.default_backend(),
+            "buffer_bytes": N,
+            "chained_kernels": K,
+            "points": points,
+            "note": "packed-dense occupancy-compressed chain: rate ~ C/S "
+                    "for S occupied first-byte segments; constant rate*S "
+                    "across the sweep is the chain-bound signature "
+                    "(docs/CONFORMANCE.md 'Performance vs north star')",
+        }
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        log(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
