@@ -54,6 +54,7 @@ class ByteTokenizer:
         self.chunk_size = chunk_size
         self.memory_cap = memory_cap
         self.engine = Engine(engine)
+        self._exp_table = None  # decode expansions, built lazily once
 
     def _config(self, input_path: str, output_path: str) -> CoreConfig:
         ct = ContentType(self.content_type) if self.content_type else None
@@ -93,14 +94,18 @@ class ByteTokenizer:
 
     def detokenize_bytes(self, data: bytes) -> bytes:
         """In-memory inverse of ``tokenize_bytes``'s wire form: u16-BE -> bytes."""
-        from blt_tpu.ops.decode import build_expansion_table, decode_wire
+        from blt_tpu.ops.decode import (
+            build_expansion_table,
+            decode_wire,
+            odd_trailing_error,
+        )
 
         if len(data) % 2:
-            raise ValueError(
-                "token stream has an odd trailing byte (truncated u16 token)"
-            )
-        table = build_expansion_table(self.merges)
-        return decode_wire(np.frombuffer(data, np.uint8), table).tobytes()
+            raise odd_trailing_error()
+        if self._exp_table is None:
+            # pure function of the merges dict (frozen in __init__): cached
+            self._exp_table = build_expansion_table(self.merges)
+        return decode_wire(np.frombuffer(data, np.uint8), self._exp_table).tobytes()
 
     def tokenize_bytes(self, data: bytes) -> np.ndarray:
         """In-memory tokenization: bytes -> int32 token ids.

@@ -149,11 +149,18 @@ def kernel_copy(src: InputSource, writer: OutputWriter) -> bool:
                     sent = sendfile(out_fd, in_fd, offset, remaining)
             except OSError:
                 # cross-filesystem / unsupported pairing: fall back cleanly
-                # only if nothing was moved yet, else resume byte-wise.
+                # only if nothing was moved yet, else resume with bounded
+                # reads (pread caps a single call at ~2 GiB and may return
+                # short — a single full-remainder read would truncate).
                 if offset == 0:
                     return False
-                data = os.pread(in_fd, remaining, offset)
-                writer.write(data)
+                while remaining > 0:
+                    data = os.pread(in_fd, min(remaining, 64 << 20), offset)
+                    if not data:
+                        break
+                    writer.write(data)
+                    offset += len(data)
+                    remaining -= len(data)
                 return True
             if sent == 0:
                 break

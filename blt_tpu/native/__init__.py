@@ -83,7 +83,10 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_int,  # threads
         ]
         _lib = lib
-    except OSError:
+    except (OSError, AttributeError):
+        # AttributeError: a stale prebuilt .so missing newer symbols (e.g.
+        # shipped before blt_decode_* existed, with no g++ to rebuild) —
+        # fall back to NumPy rather than crashing every native consumer.
         _load_failed = True
     return _lib
 

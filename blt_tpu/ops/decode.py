@@ -30,7 +30,7 @@ machinery stays encode-only).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Mapping, Tuple
+from typing import Mapping, Optional, Tuple
 
 import numpy as np
 
@@ -41,11 +41,49 @@ _ID_SPACE = 1 << 16
 # Cap on the total expansion blob; a chain of hierarchical rules can grow
 # expansions exponentially (exp[v] = exp[a] + exp[b]), so an adversarial
 # in-memory table must fail loudly instead of allocating the universe.
-_MAX_BLOB_BYTES = 1 << 31
+# Margin below INT32_MAX: every offset (including the 256 literal slots
+# and the final expansion's start) must fit the int32 offsets array.
+_MAX_BLOB_BYTES = (1 << 31) - (1 << 17)
 
 
 class DecodeError(ValueError):
     """Token stream or merge table cannot be decoded."""
+
+
+def odd_trailing_error() -> DecodeError:
+    return DecodeError(
+        "token stream has an odd trailing byte (truncated u16 token)"
+    )
+
+
+def missing_header_error() -> DecodeError:
+    return DecodeError(
+        "token stream ended before the expected content-type header"
+    )
+
+
+def header_mismatch_error(content_type, found: int) -> DecodeError:
+    return DecodeError(
+        f"expected content-type header 0x{content_type.token_value:04X} "
+        f"({content_type.value}), found 0x{found:04X}"
+    )
+
+
+def verify_strip_header(data: bytes, content_type) -> bytes:
+    """Verify + strip the leading content-type token of an in-memory wire.
+
+    The single source of truth for the header error surface — the
+    streaming paths (pipeline runner, multihost) raise through the same
+    error constructors above.
+    """
+    if content_type is None:
+        return data
+    if len(data) < 2:
+        raise missing_header_error()
+    tok = (data[0] << 8) | data[1]
+    if tok != content_type.token_value:
+        raise header_mismatch_error(content_type, tok)
+    return data[2:]
 
 
 @dataclass
@@ -76,7 +114,16 @@ class ExpansionTable:
                 )
             by_value[v] = (a, b)
 
-        expansions: dict[int, bytes] = {}
+        # Expansion per id; None marks a DEAD rule — one whose members are
+        # not producible from bytes (a member that is neither a byte nor
+        # any rule's value, or a rule cycle). The encoder can provably
+        # never emit a dead rule's value (every emitted token was built
+        # from real bytes, so producible tokens have finite byte
+        # expansions by induction), so a dead rule does not make the
+        # TABLE invalid — its value is simply rejected if it ever appears
+        # in a stream, exactly like an orphaned id. This keeps
+        # decode(encode(x)) == x for every table the encoder accepts.
+        expansions: dict[int, Optional[bytes]] = {}
         blob_total = 0
 
         def expand(token: int) -> None:
@@ -92,27 +139,36 @@ class ExpansionTable:
                     continue
                 pair = by_value.get(t)
                 if pair is None:
-                    raise DecodeError(
-                        f"merge table is not invertible: rule member {t} "
-                        "is neither a byte nor any rule's value"
-                    )
+                    expansions[t] = None  # not a byte, not a rule: dead
+                    on_stack.discard(stack.pop())
+                    continue
                 deps = [m for m in pair if m >= 256 and m not in expansions]
                 pending = [m for m in deps if m not in on_stack]
                 if deps and not pending:
                     # every unexpanded member is already being expanded
-                    # below us on the stack
-                    raise DecodeError(
-                        f"merge table is not invertible: rule cycle through "
-                        f"token {t}"
-                    )
+                    # below us on the stack: a rule cycle, unreachable
+                    # from bytes
+                    expansions[t] = None
+                    on_stack.discard(stack.pop())
+                    continue
                 if pending:
                     stack.extend(pending)
                     on_stack.update(pending)
                     continue
                 on_stack.discard(stack.pop())
-                expansions[t] = b"".join(
-                    bytes([m]) if m < 256 else expansions[m] for m in pair
-                )
+                parts = []
+                for m in pair:
+                    if m < 256:
+                        parts.append(bytes([m]))
+                    elif expansions[m] is None:
+                        parts = None  # dead member poisons the rule
+                        break
+                    else:
+                        parts.append(expansions[m])
+                if parts is None:
+                    expansions[t] = None
+                    continue
+                expansions[t] = b"".join(parts)
                 blob_total += len(expansions[t])
                 if blob_total > _MAX_BLOB_BYTES:
                     raise DecodeError(
@@ -131,6 +187,8 @@ class ExpansionTable:
         pos = 256
         for v in sorted(expansions):
             e = expansions[v]
+            if e is None:
+                continue  # dead rule: length stays 0 -> rejected in streams
             offsets[v] = pos
             lengths[v] = len(e)
             parts.append(np.frombuffer(e, dtype=np.uint8))
@@ -169,17 +227,22 @@ def decode_tokens(tokens: np.ndarray, table: ExpansionTable) -> np.ndarray:
     return table.blob[idx]
 
 
-def decode_wire(data: np.ndarray, table: ExpansionTable) -> np.ndarray:
+def decode_wire(
+    data: np.ndarray, table: ExpansionTable, threads: int = 0
+) -> np.ndarray:
     """Decode a u16-BE wire chunk (even byte length) to raw bytes.
 
     Uses the native engine when built (parse + expand fused, multithreaded,
     blt_decode_size/_fill in native/feeder.cpp); NumPy otherwise.
+    ``threads`` carries the CLI --threads policy (0 = auto).
     """
     assert data.shape[0] % 2 == 0, "wire chunk must be an even byte count"
     from blt_tpu import native
 
     if native.available() and data.shape[0] >= 1 << 16:
-        out = native.decode_expand(data, table.offsets, table.lengths, table.blob)
+        out = native.decode_expand(
+            data, table.offsets, table.lengths, table.blob, threads
+        )
         if isinstance(out, int):  # first invalid token position
             tok = (int(data[2 * out]) << 8) | int(data[2 * out + 1])
             raise DecodeError(

@@ -158,26 +158,24 @@ def _run_decode_distributed(
     """
     import jax  # noqa: F401  (jax.distributed already initialized)
 
-    from blt_tpu.ops.decode import DecodeError, build_expansion_table, decode_wire
+    from blt_tpu.ops.decode import (
+        build_expansion_table,
+        decode_wire,
+        header_mismatch_error,
+        missing_header_error,
+        odd_trailing_error,
+    )
 
     base = 0
     if config.content_type is not None:
-        want = config.content_type.token_value
         if total < 2:
-            raise DecodeError(
-                "token stream ended before the expected content-type header"
-            )
+            raise missing_header_error()
         tok = (int(mm[0]) << 8) | int(mm[1])
-        if tok != want:
-            raise DecodeError(
-                f"expected content-type header 0x{want:04X} "
-                f"({config.content_type.value}), found 0x{tok:04X}"
-            )
+        if tok != config.content_type.token_value:
+            raise header_mismatch_error(config.content_type, tok)
         base = 2
     if (total - base) % 2:
-        raise DecodeError(
-            "token stream has an odd trailing byte (truncated u16 token)"
-        )
+        raise odd_trailing_error()
     n_tokens = (total - base) // 2
     tok_bounds = even_bounds(n_tokens, nproc)
     lo = base + 2 * tok_bounds[pid]
@@ -195,6 +193,7 @@ def _run_decode_distributed(
     )
 
     fd = os.open(config.output, os.O_WRONLY | os.O_CREAT, 0o644)
+    spool_path = None
     try:
         with tempfile.NamedTemporaryFile(
             dir=os.path.dirname(os.path.abspath(config.output)) or ".",
@@ -204,27 +203,34 @@ def _run_decode_distributed(
             spool_path = spool.name
             local_count = 0
             for start in range(lo, hi, feed):
-                out = decode_wire(mm[start : min(start + feed, hi)], table)
+                out = decode_wire(
+                    mm[start : min(start + feed, hi)], table,
+                    config.num_threads,
+                )
                 spool.write(out)
                 local_count += out.nbytes
-        try:
-            counts = (
-                _allgather_counts(local_count)
-                if nproc > 1
-                else np.array([local_count], np.int64)
-            )
-            off = int(counts[:pid].sum())
-            with open(spool_path, "rb") as sp:
-                while True:
-                    buf = sp.read(1 << 22)
-                    if not buf:
-                        break
-                    off += os.pwrite(fd, buf, off)
-        finally:
-            os.unlink(spool_path)
+        counts = (
+            _allgather_counts(local_count)
+            if nproc > 1
+            else np.array([local_count], np.int64)
+        )
+        off = int(counts[:pid].sum())
+        with open(spool_path, "rb") as sp:
+            while True:
+                buf = sp.read(1 << 22)
+                if not buf:
+                    break
+                off += os.pwrite(fd, buf, off)
         if pid == 0:
             os.ftruncate(fd, int(counts.sum()))
     finally:
+        # a decode failure mid-spool must not leak the temp file
+        # (the shared output is left to the surviving ranks)
+        if spool_path is not None:
+            try:
+                os.unlink(spool_path)
+            except OSError:
+                pass
         os.close(fd)
 
     if nproc > 1:

@@ -68,7 +68,8 @@ def run_tokenizer(config: CoreConfig) -> None:
 
             table = build_expansion_table(config.bpe_data)
             results = _decode_stream(
-                src.chunks(effective_chunk_size), table, config.content_type
+                src.chunks(effective_chunk_size), table, config.content_type,
+                threads=config.num_threads,
             )
             with maybe_profile():
                 _drain_to_writer(results, writer)
@@ -128,7 +129,9 @@ def run_tokenizer(config: CoreConfig) -> None:
     log.info("Tokenizer run completed successfully")
 
 
-def _decode_stream(chunks, table, content_type) -> Iterator[np.ndarray]:
+def _decode_stream(
+    chunks, table, content_type, threads: int = 0
+) -> Iterator[np.ndarray]:
     """Stream u16-BE wire chunks through the detokenizer.
 
     Chunk boundaries may split a token (stream short reads are odd-length
@@ -136,7 +139,12 @@ def _decode_stream(chunks, table, content_type) -> Iterator[np.ndarray]:
     With a content type configured, the leading header token is verified
     and stripped — the exact inverse of the encoder's prepend.
     """
-    from blt_tpu.ops.decode import DecodeError, decode_wire
+    from blt_tpu.ops.decode import (
+        decode_wire,
+        header_mismatch_error,
+        missing_header_error,
+        odd_trailing_error,
+    )
 
     carry = np.empty(0, dtype=np.uint8)
     header_pending = content_type is not None
@@ -150,26 +158,19 @@ def _decode_stream(chunks, table, content_type) -> Iterator[np.ndarray]:
                 continue
             tok = (int(data[0]) << 8) | int(data[1])
             if tok != content_type.token_value:
-                raise DecodeError(
-                    f"expected content-type header 0x{content_type.token_value:04X} "
-                    f"({content_type.value}), found 0x{tok:04X}"
-                )
+                raise header_mismatch_error(content_type, tok)
             data = data[2:]
             header_pending = False
         n = data.shape[0] & ~1
         if n:
-            yield decode_wire(data[:n], table)
+            yield decode_wire(data[:n], table, threads)
         carry = data[n:].copy()
     if carry.size:
-        raise DecodeError(
-            "token stream has an odd trailing byte (truncated u16 token)"
-        )
+        raise odd_trailing_error()
     if header_pending:
         # the encoder emits the header even for empty input, so a stream
         # that ends first is malformed
-        raise DecodeError(
-            "token stream ended before the expected content-type header"
-        )
+        raise missing_header_error()
 
 
 def _drain_to_writer(results: Iterator, writer: OutputWriter) -> None:

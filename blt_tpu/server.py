@@ -77,33 +77,34 @@ def detokenize_wire_bytes(
     data: bytes,
     table: Optional[MergeTable] = None,
     content_type: Optional[ContentType] = None,
+    exp_table=None,
 ) -> bytes:
-    """In-memory u16-BE wire stream -> original bytes (ops/decode.py)."""
-    from blt_tpu.ops.decode import DecodeError, build_expansion_table, decode_wire
+    """In-memory u16-BE wire stream -> original bytes (ops/decode.py).
+
+    ``exp_table`` lets long-lived callers (the server) reuse a prebuilt
+    ExpansionTable instead of rebuilding it per request.
+    """
+    from blt_tpu.ops.decode import (
+        build_expansion_table,
+        decode_wire,
+        odd_trailing_error,
+        verify_strip_header,
+    )
 
     if len(data) % 2:
-        raise DecodeError(
-            "token stream has an odd trailing byte (truncated u16 token)"
-        )
-    if content_type is not None:
-        if len(data) < 2:
-            raise DecodeError("token stream ended before the content-type header")
-        tok = (data[0] << 8) | data[1]
-        if tok != content_type.token_value:
-            raise DecodeError(
-                f"expected content-type header 0x{content_type.token_value:04X} "
-                f"({content_type.value}), found 0x{tok:04X}"
-            )
-        data = data[2:]
-    exp = build_expansion_table(table.merges if table is not None else None)
-    return decode_wire(np.frombuffer(data, np.uint8), exp).tobytes()
+        raise odd_trailing_error()
+    data = verify_strip_header(data, content_type)
+    if exp_table is None:
+        exp_table = build_expansion_table(table.merges if table is not None else None)
+    return decode_wire(np.frombuffer(data, np.uint8), exp_table).tobytes()
 
 
 class _Handler(BaseHTTPRequestHandler):
     server_version = f"blt-tpu/{__version__}"
-    # set by serve(): table, engine
+    # set by serve(): table, engine, exp_table (decode expansions, built once)
     table: Optional[MergeTable] = None
     engine: Optional[NumpyEngine] = None
+    exp_table = None
 
     def log_message(self, fmt, *args):  # route access logs through BLT_LOG
         log.debug("%s %s", self.address_string(), fmt % args)
@@ -148,7 +149,8 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             if url.path == "/detokenize":
                 wire = detokenize_wire_bytes(
-                    data, table=self.table, content_type=content_type
+                    data, table=self.table, content_type=content_type,
+                    exp_table=self.exp_table,
                 )
             else:
                 wire = tokenize_bytes_wire(
@@ -200,10 +202,20 @@ def make_server(
         eng = ShardedJaxEngine()
     else:
         eng = NumpyEngine(threads)
+    from blt_tpu.ops.decode import build_expansion_table
+
+    try:
+        exp_table = build_expansion_table(
+            table.merges if table is not None else None
+        )
+    except ValueError:
+        # non-invertible table: the server still tokenizes; /detokenize
+        # reports the build error per request
+        exp_table = None
     handler = type(
         "BoundHandler",
         (_Handler,),
-        {"table": table, "engine": eng},
+        {"table": table, "engine": eng, "exp_table": exp_table},
     )
     return ThreadingHTTPServer((host, port), handler)
 

@@ -82,14 +82,22 @@ def test_rejects_duplicate_values():
         build_expansion_table({(1, 2): 300, (3, 4): 300})
 
 
-def test_rejects_rule_cycle():
-    with pytest.raises(DecodeError, match="cycle"):
-        build_expansion_table({(257, 99): 256, (256, 98): 257})
-
-
-def test_rejects_dangling_member():
-    with pytest.raises(DecodeError, match="neither a byte nor any rule"):
-        build_expansion_table({(400, 99): 256})
+def test_dead_rules_accepted_but_undecodable():
+    """Rules whose members are not producible from bytes (dangling member
+    or cycle) never fire in the encoder, so the TABLE stays decodable —
+    only the dead rule's value is rejected if it appears in a stream.
+    This keeps decode(encode(x)) == x for every table the encoder accepts."""
+    # dangling member: 400 is neither a byte nor any rule's value
+    t = build_expansion_table({(400, 99): 300, (97, 98): 256})
+    assert decode_tokens(np.array([256], np.uint16), t).tobytes() == b"ab"
+    with pytest.raises(DecodeError, match="invalid token 300"):
+        decode_tokens(np.array([300], np.uint16), t)
+    # rule cycle: neither 256 nor 257 is reachable from bytes
+    t2 = build_expansion_table({(257, 99): 256, (256, 98): 257, (97, 98): 300})
+    assert decode_tokens(np.array([300], np.uint16), t2).tobytes() == b"ab"
+    for dead in (256, 257):
+        with pytest.raises(DecodeError, match=f"invalid token {dead}"):
+            decode_tokens(np.array([dead], np.uint16), t2)
 
 
 # --- decode_tokens / decode_wire ---------------------------------------------
