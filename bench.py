@@ -316,8 +316,24 @@ def main() -> None:
                     f.write(f"{a} {b}\n")
             for mode in ("basic", "bpe"):
                 dt = run_once(ip, op, mode, Engine.JAX, mp)
-                e2e[f"{mode}_100mb_bytes_per_sec"] = size / dt
-                log(f"e2e {mode} 100MB (jax engine): {size/dt/1e6:.1f} MB/s")
+                rate = size / dt
+                e2e[f"{mode}_100mb_bytes_per_sec"] = rate
+                # the end-to-end ceiling on THIS machine: the input crosses
+                # the host->device link once and the output (out_ratio x
+                # input) crosses device->host once; perfect overlap cannot
+                # beat the serial link bound 1/(1/h2d + r/d2h)
+                out_ratio = os.path.getsize(op) / size
+                bound = 1.0 / (
+                    1.0 / roofline["h2d_bytes_per_sec"]
+                    + out_ratio / roofline["d2h_bytes_per_sec"]
+                )
+                e2e[f"{mode}_link_bound_bytes_per_sec"] = bound
+                e2e[f"{mode}_efficiency_vs_link"] = rate / bound
+                log(
+                    f"e2e {mode} 100MB (jax engine): {rate/1e6:.1f} MB/s "
+                    f"= {rate/bound:.0%} of the measured link bound "
+                    f"({bound/1e6:.1f} MB/s)"
+                )
 
         extras["packed_dense_50k_bytes_per_sec"] = dense_bps
         extras["e2e_file_to_file"] = e2e
