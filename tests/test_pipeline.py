@@ -93,6 +93,36 @@ def test_passthrough_kernel_copy_with_header(tmp_path, corpus):
     assert op.read_bytes() == bytes([0xFF, 0x04]) + corpus
 
 
+def test_passthrough_kernel_copy_midstream_fallback(tmp_path, monkeypatch):
+    """copy_file_range failing after partial progress must resume with
+    bounded reads and still produce a byte-exact output."""
+    import blt_tpu.io.sources as sources
+
+    corpus = os.urandom(300_000)
+    ip = tmp_path / "in.bin"
+    op = tmp_path / "out.bin"
+    ip.write_bytes(corpus)
+
+    real = os.copy_file_range
+    calls = {"n": 0}
+
+    def flaky(in_fd, out_fd, count, offset_src=None, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError(5, "injected mid-stream failure")
+        # small chunks so the failure lands mid-copy
+        return real(in_fd, out_fd, min(count, 64 * 1024), offset_src=offset_src)
+
+    monkeypatch.setattr(sources.os, "copy_file_range", flaky, raising=False)
+    src, writer = sources.setup_io(ip, op)
+    try:
+        assert sources.kernel_copy(src, writer)
+    finally:
+        writer.close()
+    assert op.read_bytes() == corpus
+    assert calls["n"] == 2  # second call raised; the rest went via pread
+
+
 def test_passthrough_kernel_copy_empty_file(tmp_path):
     ip = tmp_path / "in.bin"
     op = tmp_path / "out.bin"
