@@ -49,7 +49,8 @@ def make_corpus(rng: np.random.Generator, merges, max_bytes: int) -> bytes:
     if not merges or rng.random() < 0.2:
         return rng.integers(0, 256, n, dtype=np.uint8).tobytes()
     # bias towards rule bytes so merges actually fire, with long runs
-    pool = [a for (a, _b) in merges] + [b for (_a, b) in merges]
+    # (hierarchical keys contain merged ids >= 256 — not corpus bytes)
+    pool = [m for (a, b) in merges for m in (a, b) if m < 256]
     alphabet = np.array(sorted(set(pool))[:16] or [97], dtype=np.uint8)
     out = rng.choice(alphabet, size=n).astype(np.uint8)
     if n > 10 and rng.random() < 0.5:  # adversarial run of one byte
