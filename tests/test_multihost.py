@@ -17,7 +17,7 @@ from pathlib import Path
 import numpy as np
 import pytest
 
-from blt_tpu.config import CoreConfig, Engine
+from blt_tpu.config import ContentType, CoreConfig, Engine
 from blt_tpu.merges import MergeTable
 from blt_tpu.ops.bpe_numpy import bpe_encode_flat
 from blt_tpu.parallel import multihost
@@ -102,6 +102,61 @@ def test_single_process_distributed_runner_matches(tmp_path):
     )
     run_tokenizer(cfg2)
     assert op1.read_bytes() == op2.read_bytes()
+
+
+def test_single_process_distributed_decode(tmp_path):
+    """nproc=1 decode: token-aligned assembly, stale-output truncate,
+    and the full error surface without spool leakage."""
+    from blt_tpu.ops.decode import DecodeError
+    from blt_tpu.pipeline.runner import run_tokenizer
+
+    rng = np.random.default_rng(4)
+    data = rng.choice(np.frombuffer(b"abcab c", np.uint8), size=200_000)
+    ip = tmp_path / "in.bin"
+    wire = tmp_path / "wire.bin"
+    out = tmp_path / "back.bin"
+    mp = tmp_path / "m.txt"
+    ip.write_bytes(data.tobytes())
+    mp.write_text("".join(f"{a} {b}\n" for a, b in MERGES))
+    run_tokenizer(CoreConfig.new_from_cli(
+        input=ip, output=wire, merges=mp, content_type=ContentType.TEXT,
+        engine=Engine.NUMPY,
+    ))
+
+    cfg = CoreConfig.new_from_cli(
+        input=wire, output=out, merges=mp, content_type=ContentType.TEXT,
+        decode=True,
+    )
+    out.write_bytes(b"\xee" * 1_000_000)  # stale output: truncate must fix
+    multihost.run_tokenizer_distributed(cfg)
+    assert out.read_bytes() == data.tobytes()
+    assert not list(tmp_path.glob(".blt_spool_*"))
+
+    # header mismatch raises and leaks no spool
+    bad = tmp_path / "bad.bin"
+    bad.write_bytes(bytes([0xFF, 0x03]) + wire.read_bytes()[2:])
+    cfg_bad = CoreConfig.new_from_cli(
+        input=bad, output=out, merges=mp, content_type=ContentType.TEXT,
+        decode=True,
+    )
+    with pytest.raises(DecodeError, match="expected content-type header"):
+        multihost.run_tokenizer_distributed(cfg_bad)
+    assert not list(tmp_path.glob(".blt_spool_*"))
+
+    # odd byte count raises
+    odd = tmp_path / "odd.bin"
+    odd.write_bytes(wire.read_bytes() + b"\x00")
+    cfg_odd = CoreConfig.new_from_cli(input=odd, output=out, decode=True)
+    with pytest.raises(DecodeError, match="odd trailing byte"):
+        multihost.run_tokenizer_distributed(cfg_odd)
+
+    # invalid token mid-range leaks no spool either
+    cfg_tok = CoreConfig.new_from_cli(
+        input=wire, output=out, content_type=ContentType.TEXT, decode=True,
+    )  # no merges: rule ids in the stream are invalid
+    with pytest.raises(DecodeError, match="invalid token"):
+        multihost.run_tokenizer_distributed(cfg_tok)
+    assert not list(tmp_path.glob(".blt_spool_*"))
 
 
 _WORKER = textwrap.dedent(
