@@ -132,31 +132,36 @@ def test_single_process_distributed_decode(tmp_path):
     assert out.read_bytes() == data.tobytes()
     assert not list(tmp_path.glob(".blt_spool_*"))
 
-    # header mismatch raises and leaks no spool
+    wb = wire.read_bytes()
+
+    # header mismatch raises before any spool or output fd exists
     bad = tmp_path / "bad.bin"
-    bad.write_bytes(bytes([0xFF, 0x03]) + wire.read_bytes()[2:])
+    bad.write_bytes(bytes([0xFF, 0x03]) + wb[2:])
     cfg_bad = CoreConfig.new_from_cli(
         input=bad, output=out, merges=mp, content_type=ContentType.TEXT,
         decode=True,
     )
     with pytest.raises(DecodeError, match="expected content-type header"):
         multihost.run_tokenizer_distributed(cfg_bad)
-    assert not list(tmp_path.glob(".blt_spool_*"))
+    assert out.read_bytes() == data.tobytes()  # output untouched on error
 
     # odd byte count raises
     odd = tmp_path / "odd.bin"
-    odd.write_bytes(wire.read_bytes() + b"\x00")
+    odd.write_bytes(wb + b"\x00")
     cfg_odd = CoreConfig.new_from_cli(input=odd, output=out, decode=True)
     with pytest.raises(DecodeError, match="odd trailing byte"):
         multihost.run_tokenizer_distributed(cfg_odd)
+    assert out.read_bytes() == data.tobytes()
 
-    # invalid token mid-range leaks no spool either
+    # invalid token mid-range: the spool was created and must be cleaned up,
+    # and the output must not have been clobbered before the failure
     cfg_tok = CoreConfig.new_from_cli(
         input=wire, output=out, content_type=ContentType.TEXT, decode=True,
     )  # no merges: rule ids in the stream are invalid
     with pytest.raises(DecodeError, match="invalid token"):
         multihost.run_tokenizer_distributed(cfg_tok)
     assert not list(tmp_path.glob(".blt_spool_*"))
+    assert out.read_bytes() == data.tobytes()
 
 
 _WORKER = textwrap.dedent(
