@@ -221,8 +221,12 @@ def main() -> None:
 
             nb_ = batch_mb * 1024 * 1024
             encN = PallasFlatEncoder(tbl, capacity_bytes=nb_, rows_per_block=BPE_RPB)
-            b1 = host[:nb_]
+            b1 = host[:nb_].copy()
             b2 = np.roll(host, 1_000_003)[:nb_]  # distinct second batch
+            # sprinkle FF FF runs: text corpora never produce them, and the
+            # pair (255,255) is the cuckoo empty-slot key-half collision
+            # (bpe_pallas.py kernel hit check) — keep it covered on hardware
+            b1[4096:4104] = 255
             s1, _, c1 = encN.encode(b1, False, int(b2[0]))
             s2, _, c2 = encN.encode(b2, c1, -1)
             t1, prev = filter_slots(np.asarray(s1).reshape(-1)[:nb_], 0)

@@ -50,11 +50,11 @@ def _pair_values_dense(tokens: np.ndarray, dense: np.ndarray) -> np.ndarray:
 
 def _pair_values_sparse(tokens: np.ndarray, table: MergeTable) -> np.ndarray:
     """Sorted-key binary-search lookup for general (u16,u16) keys."""
-    keys = (tokens[:-1].astype(np.uint32) << 16) | tokens[1:].astype(np.uint32)
-    pos = np.searchsorted(table.sparse_keys, keys)
-    pos_c = np.minimum(pos, len(table.sparse_keys) - 1) if len(table.sparse_keys) else pos
     if len(table.sparse_keys) == 0:
-        return np.full(keys.shape, NO_RULE, dtype=np.int32)
+        return np.full(max(tokens.shape[0] - 1, 0), NO_RULE, dtype=np.int32)
+    keys = (tokens[:-1].astype(np.uint32) << 16) | tokens[1:].astype(np.uint32)
+    pos_c = np.minimum(np.searchsorted(table.sparse_keys, keys),
+                       len(table.sparse_keys) - 1)
     hit = table.sparse_keys[pos_c] == keys
     return np.where(hit, table.sparse_vals[pos_c], NO_RULE)
 
@@ -78,7 +78,10 @@ def bpe_encode_flat_carry(
     assert table.flat, "carry chaining requires a flat merge table"
     n = data.shape[0]
     if n == 0:
-        return np.empty(0, dtype=np.int32), False
+        # an empty chunk consumes nothing: the pending carry (the previous
+        # chunk's final merge reaching into the next real byte) passes
+        # through untouched, keeping the chaining identity exact
+        return np.empty(0, dtype=np.int32), carry_in
     b = data.astype(np.int32, copy=False)
     nxt = np.empty(n, dtype=np.int32)
     nxt[:-1] = b[1:]

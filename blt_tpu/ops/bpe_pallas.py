@@ -254,8 +254,12 @@ def _kernel_body(
         e2 = _tree_lookup(e2_ref, h2)
         key1 = (e1 >> 16) & 0xFFFF
         key2 = (e2 >> 16) & 0xFFFF
-        hit1 = key1 == p
-        hit2 = key2 == p
+        # an empty slot is -1 = key 0xFFFF | value 0xFFFF, whose key half
+        # equals the real pair (255,255): the key compare alone would
+        # false-hit bytes FF FF against EMPTY slots, so a hit requires the
+        # slot to be occupied too
+        hit1 = (key1 == p) & (e1 != -1)
+        hit2 = (key2 == p) & (e2 != -1)
         val = jnp.where(hit1, e1 & 0xFFFF, e2 & 0xFFFF)
         m = hit1 | hit2
         # the one entry whose packed form collides with the empty sentinel

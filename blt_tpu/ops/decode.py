@@ -102,6 +102,12 @@ class ExpansionTable:
     def build(merges: Mapping[Tuple[int, int], int]) -> "ExpansionTable":
         by_value: dict[int, Tuple[int, int]] = {}
         for (a, b), v in merges.items():
+            if not (0 <= a <= 0xFFFF and 0 <= b <= 0xFFFF and 0 <= v <= 0xFFFF):
+                # mirror MergeTable.build's range check so the decode path
+                # reports a DecodeError, not a raw IndexError
+                raise DecodeError(
+                    f"merge rule ({a},{b})->{v} outside the u16 token range"
+                )
             if v < 256:
                 raise DecodeError(
                     f"merge table is not invertible: rule ({a},{b})->{v} "
@@ -126,55 +132,56 @@ class ExpansionTable:
         expansions: dict[int, Optional[bytes]] = {}
         blob_total = 0
 
-        def expand(token: int) -> None:
-            # Iterative post-order walk (hierarchical tables can nest deeper
-            # than the Python recursion limit).
+        def expand(root: int) -> None:
+            # Iterative two-phase DFS (hierarchical tables can nest deeper
+            # than the Python recursion limit). ``path`` holds only the
+            # DFS ANCESTORS of the current node — a member found on the
+            # path is a true rule cycle; a pending sibling is not (an
+            # earlier revision confused the two and wrongly killed
+            # producible diamond-shaped tables).
             nonlocal blob_total
-            stack = [token]
-            on_stack = {token}
+            stack = [(root, False)]
+            path: set = set()
             while stack:
-                t = stack[-1]
-                if t in expansions or t < 256:
-                    on_stack.discard(stack.pop())
+                t, children_done = stack.pop()
+                if children_done:
+                    path.discard(t)
+                    parts: Optional[list] = []
+                    for m in by_value[t]:
+                        if m < 256:
+                            parts.append(bytes([m]))
+                        else:
+                            # missing => m is a GRAY ancestor (cycle);
+                            # None => m itself is dead: either way t dies
+                            e = expansions.get(m)
+                            if e is None:
+                                parts = None
+                                break
+                            parts.append(e)
+                    if parts is None:
+                        expansions[t] = None
+                        continue
+                    expansions[t] = b"".join(parts)
+                    blob_total += len(expansions[t])
+                    if blob_total > _MAX_BLOB_BYTES:
+                        raise DecodeError(
+                            "merge table expansions exceed the 2 GiB decode "
+                            "blob limit"
+                        )
+                    continue
+                if t < 256 or t in expansions or t in path:
+                    # resolved already, or an in-progress ancestor (its own
+                    # done-frame will settle it; the consumer sees a cycle)
                     continue
                 pair = by_value.get(t)
                 if pair is None:
                     expansions[t] = None  # not a byte, not a rule: dead
-                    on_stack.discard(stack.pop())
                     continue
-                deps = [m for m in pair if m >= 256 and m not in expansions]
-                pending = [m for m in deps if m not in on_stack]
-                if deps and not pending:
-                    # every unexpanded member is already being expanded
-                    # below us on the stack: a rule cycle, unreachable
-                    # from bytes
-                    expansions[t] = None
-                    on_stack.discard(stack.pop())
-                    continue
-                if pending:
-                    stack.extend(pending)
-                    on_stack.update(pending)
-                    continue
-                on_stack.discard(stack.pop())
-                parts = []
+                path.add(t)
+                stack.append((t, True))
                 for m in pair:
-                    if m < 256:
-                        parts.append(bytes([m]))
-                    elif expansions[m] is None:
-                        parts = None  # dead member poisons the rule
-                        break
-                    else:
-                        parts.append(expansions[m])
-                if parts is None:
-                    expansions[t] = None
-                    continue
-                expansions[t] = b"".join(parts)
-                blob_total += len(expansions[t])
-                if blob_total > _MAX_BLOB_BYTES:
-                    raise DecodeError(
-                        "merge table expansions exceed the 2 GiB decode blob "
-                        "limit"
-                    )
+                    if m >= 256 and m not in expansions:
+                        stack.append((m, False))
 
         for v in by_value:
             expand(v)

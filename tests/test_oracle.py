@@ -163,3 +163,26 @@ def test_carry_chaining_equals_whole_input():
             toks, carry = bpe_encode_flat_carry(piece, table, carry, nxt)
             out.extend(toks.tolist())
         assert out == expected
+
+
+def test_carry_passes_through_empty_chunk():
+    """An empty chunk must pass a pending carry through untouched (the
+    previous chunk's final merge consumed the next REAL byte, which lives
+    in a later chunk); dropping it re-emits an already-consumed byte."""
+    table = MergeTable.build({(97, 97): 256})
+    # chunk 'aaa' + halo 'a': the second merge starts on the final byte
+    # and consumes the next real byte, which lives two chunks later
+    toks1, carry = bpe_encode_flat_carry(
+        np.frombuffer(b"aaa", np.uint8), table, False, 97
+    )
+    assert carry  # the merge reached forward into the halo byte
+    toks_empty, carry = bpe_encode_flat_carry(
+        np.empty(0, np.uint8), table, carry, 97
+    )
+    assert toks_empty.size == 0 and carry
+    toks2, carry = bpe_encode_flat_carry(
+        np.frombuffer(b"a", np.uint8), table, carry, -1
+    )
+    got = toks1.tolist() + toks2.tolist()
+    assert got == bpe_encode_oracle(b"aaaa", {(97, 97): 256})
+    assert not carry

@@ -103,6 +103,32 @@ def test_fixed_capacity_chained_batches():
         assert got == bpe_encode_flat(data, t).tolist()
 
 
+def test_ffff_pair_without_rule_not_merged():
+    """Bytes FF FF with NO (255,255) rule: an empty cuckoo slot's key half
+    is 0xFFFF, so the hit check must also require slot occupancy — the
+    key compare alone silently merged FF FF to token 0xFFFF (regression)."""
+    for merges in ({(97, 98): 300}, {(97, 98): 300, (255, 255): 301},
+                   {(255, 254): 400}):
+        t = MergeTable.build(merges)
+        enc = PallasFlatEncoder(t, interpret=True)
+        data = np.frombuffer(b"ab\xff\xffab\xff", np.uint8)
+        got = run_encoder(enc, np.array(data))
+        assert got == bpe_encode_flat(np.array(data), t).tolist(), merges
+
+
+def test_full_byte_range_random_corpus():
+    """Random bytes over the FULL 0-255 range (the text-biased corpora
+    elsewhere never produce FF FF) against the NumPy engine."""
+    rng = np.random.default_rng(0xFF)
+    data = rng.integers(0, 256, 50_000, np.uint8)
+    pairs = set()
+    while len(pairs) < 300:
+        pairs.add((int(rng.integers(0, 256)), int(rng.integers(0, 256))))
+    t = MergeTable.build({p: 256 + i for i, p in enumerate(sorted(pairs))})
+    enc = PallasFlatEncoder(t, interpret=True)
+    assert run_encoder(enc, data) == bpe_encode_flat(data, t).tolist()
+
+
 def test_ffff_rule_special_case():
     # rule (255,255)->65535 packs to the empty-slot sentinel; the kernel
     # special-cases it via the has_ffff flag
