@@ -98,9 +98,12 @@ class OutputWriter:
         if getattr(self, "_closed", False):
             return
         self._closed = True
-        self.flush()
-        if self._own:
-            self._f.close()
+        try:
+            self.flush()
+        finally:
+            # the fd must not leak even when the flush raises (ENOSPC)
+            if self._own:
+                self._f.close()
 
     def __enter__(self) -> "OutputWriter":
         return self

@@ -179,6 +179,22 @@ class MergeTable:
         return slots
 
     def build_cuckoo32(self, slots: int | None = None, max_seed_tries: int = 64):
+        """Memoizing wrapper over the cuckoo placement below.
+
+        Default-argument builds are cached on the table: every encoder's
+        supports()+__init__ pair would otherwise re-run the placement (up
+        to 64 seed tries) two or three times per stream.
+        """
+        default_call = slots is None and max_seed_tries == 64
+        if default_call:
+            if "_cuckoo32_memo" not in self.__dict__:
+                self.__dict__["_cuckoo32_memo"] = self._build_cuckoo32_impl()
+            return self.__dict__["_cuckoo32_memo"]
+        return self._build_cuckoo32_impl(slots, max_seed_tries)
+
+    def _build_cuckoo32_impl(
+        self, slots: int | None = None, max_seed_tries: int = 64
+    ):
         """2-table cuckoo over 32-bit pair keys for the multipass token
         kernel (general tables: keys may be any (u16,u16), e.g. hierarchical
         rules like (256,99)->257).
@@ -253,6 +269,15 @@ class MergeTable:
         return None
 
     def build_cuckoo(self, slots: int = 2048, max_seed_tries: int = 64):
+        """Memoizing wrapper (per slot count) over the placement below."""
+        if max_seed_tries == 64:
+            memo = self.__dict__.setdefault("_cuckoo_memo", {})
+            if slots not in memo:
+                memo[slots] = self._build_cuckoo_impl(slots)
+            return memo[slots]
+        return self._build_cuckoo_impl(slots, max_seed_tries)
+
+    def _build_cuckoo_impl(self, slots: int = 2048, max_seed_tries: int = 64):
         """2-table cuckoo hash of byte-pair rules for the Pallas TPU kernel.
 
         Returns (E1, E2, A1, A2, has_ffff) or None when placement fails

@@ -108,7 +108,7 @@ class JaxEngine:
 
     name = "jax"
 
-    def __init__(self, depth: int = 2):
+    def __init__(self, depth: int = 2, threads: int = 0):
         import jax  # lazy: keep CLI startup fast on the pure-host paths
 
         from blt_tpu.utils.compcache import enable_compilation_cache
@@ -116,6 +116,9 @@ class JaxEngine:
         enable_compilation_cache()
         self._jax = jax
         self.depth = depth
+        # --threads policy for the host-side stages (pack/upload/drain);
+        # 0 = auto (cpu count), matching NumpyEngine
+        self.threads = threads if threads > 0 else (os.cpu_count() or 1)
 
     def _pad_to(self, chunk: np.ndarray, n: int) -> np.ndarray:
         if chunk.shape[0] == n:
@@ -127,7 +130,9 @@ class JaxEngine:
     def basic_stream(
         self, chunks: Iterable[np.ndarray], chunk_hint: int
     ) -> Iterator[bytes]:
-        if self._jax.default_backend() == "tpu":
+        # chunk_hint == 0 (empty in-memory payloads) would build a
+        # zero-capacity encoder; the XLA/stream path below handles it
+        if self._jax.default_backend() == "tpu" and chunk_hint > 0:
             from blt_tpu.ops.bpe_pallas import PallasBasicEncoder
             from blt_tpu.pipeline.feeder import BufferPool, prefetch_iter
 
@@ -195,7 +200,7 @@ class JaxEngine:
     def _bpe_flat_stream(
         self, chunks: Iterable[np.ndarray], table: MergeTable, chunk_hint: int
     ) -> Iterator[bytes]:
-        if self._jax.default_backend() == "tpu":
+        if self._jax.default_backend() == "tpu" and chunk_hint > 0:
             from blt_tpu.ops.bpe_pallas import PallasFlatEncoder
 
             if PallasFlatEncoder.supports(table):
@@ -225,14 +230,12 @@ class JaxEngine:
         prev_tok carry is serial, making it a clean stage). End-to-end
         rate is max(stage), not sum(stage) — see blt_tpu/pipeline/feeder.py.
         """
-        import os
-
         from blt_tpu import native
         from blt_tpu.ops.bpe_pallas import filter_slots
         from blt_tpu.pipeline.feeder import BufferPool, prefetch_iter
 
         use_native = native.available()
-        threads = os.cpu_count() or 1
+        threads = self.threads
         pool = BufferPool(encoder.padded_bytes, 2)
 
         def feed():
@@ -324,6 +327,16 @@ class JaxEngine:
         host = np.asarray(be)  # uint16 LE image == u16-BE wire stream
         return host[:n_tokens]
 
+    def _pallas_multipass_selected(self, encoder_cls, table) -> bool:
+        """One policy for both engines: BLT_MULTIPASS=pallas|xla, TPU
+        backend, and kernel support for this table."""
+        impl = os.environ.get("BLT_MULTIPASS", "pallas")
+        return (
+            impl != "xla"
+            and self._jax.default_backend() == "tpu"
+            and encoder_cls.supports(table)
+        )
+
     def _bpe_multipass_stream(
         self, chunks: Iterable[np.ndarray], table: MergeTable, chunk_hint: int
     ) -> Iterator[bytes]:
@@ -339,15 +352,13 @@ class JaxEngine:
           remote TPU at ~50 MB/s).
         Select with BLT_MULTIPASS=pallas|xla.
         """
-        impl = os.environ.get("BLT_MULTIPASS", "pallas")
-        if impl != "xla" and self._jax.default_backend() == "tpu":
-            from blt_tpu.ops.bpe_pallas import PallasTokenEncoder
+        from blt_tpu.ops.bpe_pallas import PallasTokenEncoder
 
-            if PallasTokenEncoder.supports(table):
-                yield from self._bpe_multipass_pallas_stream(
-                    chunks, table, chunk_hint
-                )
-                return
+        if self._pallas_multipass_selected(PallasTokenEncoder, table):
+            yield from self._bpe_multipass_pallas_stream(
+                chunks, table, chunk_hint
+            )
+            return
         yield from self._bpe_multipass_xla_stream(chunks, table, chunk_hint)
 
     def _bpe_multipass_pallas_stream(
@@ -403,8 +414,8 @@ class ShardedJaxEngine(JaxEngine):
 
     name = "shard"
 
-    def __init__(self, mesh=None, depth: int = 2):
-        super().__init__(depth=depth)
+    def __init__(self, mesh=None, depth: int = 2, threads: int = 0):
+        super().__init__(depth=depth, threads=threads)
         from blt_tpu.parallel.mesh import (
             make_mesh,
             replicated,
@@ -424,6 +435,9 @@ class ShardedJaxEngine(JaxEngine):
         batch = np.zeros((b, row_bytes), np.uint8)
         lengths = np.zeros(b, np.int32)
         n = chunk.shape[0]
+        # a chunk beyond the batch capacity would silently drop its tail
+        # (the single-device upload paths assert the same contract)
+        assert n <= b * row_bytes, (n, b, row_bytes)
         for r in range(b):
             row = chunk[r * row_bytes : (r + 1) * row_bytes]
             batch[r, : row.shape[0]] = row
@@ -526,15 +540,13 @@ class ShardedJaxEngine(JaxEngine):
         chunk per device; ~50x the XLA round-loop per chip); other
         backends keep the vmapped XLA multipass.
         """
-        impl = os.environ.get("BLT_MULTIPASS", "pallas")
-        if impl != "xla" and self._jax.default_backend() == "tpu":
-            from blt_tpu.ops.bpe_pallas import ShardedTokenEncoder
+        from blt_tpu.ops.bpe_pallas import ShardedTokenEncoder
 
-            if ShardedTokenEncoder.supports(table):
-                yield from self._bpe_multipass_sharded_pallas(
-                    chunks, table, chunk_hint
-                )
-                return
+        if self._pallas_multipass_selected(ShardedTokenEncoder, table):
+            yield from self._bpe_multipass_sharded_pallas(
+                chunks, table, chunk_hint
+            )
+            return
         yield from self._bpe_multipass_sharded_xla(chunks, table, chunk_hint)
 
     def _bpe_multipass_sharded_pallas(
@@ -704,9 +716,9 @@ def select_engine(engine_pref, input_size: Optional[int], threads: int = 0):
     if engine_pref == Engine.NUMPY:
         return NumpyEngine(threads)
     if engine_pref == Engine.JAX:
-        return JaxEngine()
+        return JaxEngine(threads=threads)
     if engine_pref == Engine.SHARD:
-        return ShardedJaxEngine()
+        return ShardedJaxEngine(threads=threads)
     if input_size is None:
         return AutoStreamEngine(threads)
     if input_size < AUTO_DEVICE_THRESHOLD:

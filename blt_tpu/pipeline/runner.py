@@ -112,7 +112,13 @@ def run_tokenizer(config: CoreConfig) -> None:
         with maybe_profile():
             _drain_to_writer(results, writer)
     except BaseException:
-        writer.close()
+        # The cleanup close may itself raise (e.g. ENOSPC flushing buffered
+        # data on a full disk) — swallow it so the unlink below still runs
+        # and the ORIGINAL failure is what surfaces.
+        try:
+            writer.close()
+        except OSError:
+            pass
         # Deliberate improvement over the reference, which leaves a
         # truncated output file when a chunk fails mid-run (SURVEY.md 5:
         # "no partial-output cleanup"): a failed file-target run removes
@@ -165,12 +171,13 @@ def _decode_stream(
         if n:
             yield decode_wire(data[:n], table, threads)
         carry = data[n:].copy()
-    if carry.size:
-        raise odd_trailing_error()
     if header_pending:
         # the encoder emits the header even for empty input, so a stream
-        # that ends first is malformed
+        # ending first (even mid-header: a lone byte) is this error, not
+        # the generic odd-trailing-byte one
         raise missing_header_error()
+    if carry.size:
+        raise odd_trailing_error()
 
 
 def _drain_to_writer(results: Iterator, writer: OutputWriter) -> None:

@@ -239,6 +239,35 @@ def test_partial_output_removed_on_failure(tmp_path, monkeypatch):
     assert not outp.exists()
 
 
+def test_partial_output_removed_when_close_also_fails(tmp_path, monkeypatch):
+    """The cleanup close may itself raise (ENOSPC flushing buffered data);
+    the unlink must still run and the ORIGINAL error must surface."""
+    import blt_tpu.pipeline.runner as runner
+    from blt_tpu.config import CoreConfig
+    from blt_tpu.io.sources import OutputWriter
+
+    inp = tmp_path / "in.bin"
+    outp = tmp_path / "out.bin"
+    inp.write_bytes(b"x" * 4096)
+
+    def boom(results, writer):
+        writer.write(b"partial")
+        raise IOError("injected chunk failure")
+
+    real_flush = OutputWriter.flush
+
+    def bad_flush(self):
+        real_flush(self)
+        raise OSError(28, "injected ENOSPC on flush")
+
+    monkeypatch.setattr(runner, "_drain_to_writer", boom)
+    monkeypatch.setattr(OutputWriter, "flush", bad_flush)
+    cfg = CoreConfig.new_from_cli(input=str(inp), output=str(outp))
+    with pytest.raises(IOError, match="injected chunk failure"):
+        runner.run_tokenizer(cfg)
+    assert not outp.exists()
+
+
 def test_profile_trace_written(tmp_path, monkeypatch):
     """BLT_PROFILE=<dir> wraps the run in a JAX profiler trace (SURVEY.md 5:
     the rebuild's observability adds real device traces)."""
