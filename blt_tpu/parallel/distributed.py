@@ -32,7 +32,12 @@ from blt_tpu.utils.logging import get_logger
 
 log = get_logger("distributed")
 
-_initialized = False
+# None = never attempted, "solo" = argless auto-bootstrap fell back to
+# single-process, "real" = jax.distributed actually initialized. A later
+# EXPLICIT (coordinator-address) call must still run after a solo
+# fallback — treating the fallback as terminal would silently degrade an
+# explicit multi-process launch to N independent solo runs.
+_init_state: Optional[str] = None
 
 
 def initialize(
@@ -50,8 +55,10 @@ def initialize(
     multi-process launch to N independent solo runs would corrupt the
     shared output.
     """
-    global _initialized
-    if _initialized:
+    global _init_state
+    if _init_state == "real":
+        return
+    if _init_state == "solo" and coordinator_address is None:
         return
     try:
         jax.distributed.initialize(
@@ -59,7 +66,7 @@ def initialize(
             num_processes=num_processes,
             process_id=process_id,
         )
-        _initialized = True
+        _init_state = "real"
         log.info(
             "distributed initialized: process %d/%d",
             jax.process_index(),
@@ -70,7 +77,7 @@ def initialize(
             raise
         # already initialized, or single-process without coordinator info
         log.debug("distributed init skipped: %s", e)
-        _initialized = True
+        _init_state = "solo"
 
 
 def global_mesh():
@@ -79,14 +86,15 @@ def global_mesh():
 
 
 def host_byte_range(total_bytes: int) -> Tuple[int, int]:
-    """This host's contiguous corpus slice (chunk-range sharding).
+    """This host's NAIVE contiguous corpus slice (even split).
 
-    Contiguous ranges (not striding) keep shard boundaries identical to
-    chunk boundaries so the carry-composition stitching applies unchanged.
+    Thin wrapper over ``multihost.even_bounds`` for size-deterministic
+    modes (basic/passthrough/decode). BPE runs must NOT split here —
+    ``multihost.plan_bounds`` owns the merge-transparent / chunk-aligned
+    planning the real runner uses.
     """
+    from blt_tpu.parallel.multihost import even_bounds
+
     p = jax.process_index()
-    n = jax.process_count()
-    per = -(-total_bytes // n)
-    lo = min(p * per, total_bytes)
-    hi = min(lo + per, total_bytes)
-    return lo, hi
+    bounds = even_bounds(total_bytes, jax.process_count())
+    return bounds[p], bounds[p + 1]

@@ -62,6 +62,17 @@ def env_distributed() -> bool:
 def initialize_from_env() -> None:
     from blt_tpu.parallel import distributed as dist
 
+    missing = [
+        v
+        for v in ("BLT_NUM_PROCESSES", "BLT_PROCESS_ID")
+        if v not in os.environ
+    ]
+    if missing:
+        raise ValueError(
+            "incomplete multi-process environment: BLT_COORDINATOR_ADDRESS "
+            f"is set but {', '.join(missing)} is missing (the contract needs "
+            "all three; see docs/DEPLOYMENT.md)"
+        )
     dist.initialize(
         coordinator_address=os.environ["BLT_COORDINATOR_ADDRESS"],
         num_processes=int(os.environ["BLT_NUM_PROCESSES"]),
@@ -122,16 +133,31 @@ def safe_split_bounds(
     return bounds
 
 
+# Multi-process default chunk when no CLI size is given: the auto
+# planner's upper clamp (chunking.rs policy cap). The single-host auto
+# planner derives the chunk from LOCAL total RAM, which on heterogeneous
+# hosts would give each process a DIFFERENT global chunk grid — and
+# non-flat BPE bounds and output depend on that grid, so every host must
+# pin the same value with no communication.
+DIST_DEFAULT_CHUNK = 16 * 1024 * 1024
+
+
+def dist_chunk_size(config: CoreConfig) -> int:
+    """Host-RAM-independent effective chunk size for multi-process runs."""
+    if config.cli_chunk_size is not None:
+        return get_effective_chunk_size(
+            config.cli_chunk_size, config.num_threads, config.mem_cap_percent
+        )
+    return DIST_DEFAULT_CHUNK
+
+
 def plan_bounds(config: CoreConfig, total: int, mm, nproc: int) -> List[int]:
     mode = config.mode
     if mode == Mode.BPE:
         table = config.table()
         if table.flat:
             return safe_split_bounds(mm, table.dense, nproc)
-        chunk = get_effective_chunk_size(
-            config.cli_chunk_size, config.num_threads, config.mem_cap_percent
-        )
-        return chunk_aligned_bounds(total, chunk, nproc)
+        return chunk_aligned_bounds(total, dist_chunk_size(config), nproc)
     return even_bounds(total, nproc)
 
 
@@ -142,6 +168,21 @@ def _allgather_counts(local_count: int) -> np.ndarray:
     return np.asarray(
         multihost_utils.process_allgather(np.int64(local_count))
     ).reshape(-1)
+
+
+def _pwrite_all(fd: int, buf, off: int) -> int:
+    """pwrite the WHOLE buffer at off (a short kernel write would silently
+    shift every following byte of this host's region); returns bytes written."""
+    view = memoryview(buf)
+    if view.format != "B" or view.ndim != 1:
+        view = view.cast("B")
+    written = 0
+    while written < len(view):
+        n = os.pwrite(fd, view[written:], off + written)
+        if n == 0:
+            raise OSError(f"pwrite wrote 0 of {len(view) - written} bytes")
+        written += n
+    return written
 
 
 def _run_decode_distributed(
@@ -184,13 +225,7 @@ def _run_decode_distributed(
              tok_bounds[pid], tok_bounds[pid + 1], n_tokens)
 
     table = build_expansion_table(config.bpe_data)
-    feed = max(
-        get_effective_chunk_size(
-            config.cli_chunk_size, config.num_threads, config.mem_cap_percent
-        )
-        & ~1,
-        2,
-    )
+    feed = max(dist_chunk_size(config) & ~1, 2)
 
     fd = os.open(config.output, os.O_WRONLY | os.O_CREAT, 0o644)
     spool_path = None
@@ -220,7 +255,7 @@ def _run_decode_distributed(
                 buf = sp.read(1 << 22)
                 if not buf:
                     break
-                off += os.pwrite(fd, buf, off)
+                off += _pwrite_all(fd, buf, off)
         if pid == 0:
             os.ftruncate(fd, int(counts.sum()))
     finally:
@@ -280,9 +315,10 @@ def run_tokenizer_distributed(config: CoreConfig) -> None:
     if config.content_type is not None:
         header = config.content_type.token_value.to_bytes(2, "big")
 
-    effective_chunk_size = get_effective_chunk_size(
-        config.cli_chunk_size, config.num_threads, config.mem_cap_percent
-    )
+    # the same host-RAM-independent chunk the bounds were planned with:
+    # non-flat BPE output depends on the chunk grid itself, so the feed
+    # must follow it exactly for byte-identical cross-host assembly
+    effective_chunk_size = dist_chunk_size(config)
     engine = select_engine(config.engine, hi - lo, config.num_threads)
     invariant = mode in (Mode.BASIC, Mode.PASSTHROUGH) or (
         mode == Mode.BPE and config.table().flat
@@ -309,25 +345,28 @@ def run_tokenizer_distributed(config: CoreConfig) -> None:
             factor = 2 if mode == Mode.BASIC else 1
             off = len(header) + factor * lo
             for data in results:
-                off += os.pwrite(fd, data, off)
-            local_count = factor * (hi - lo)
-            counts = _allgather_counts(local_count) if nproc > 1 else None
+                off += _pwrite_all(fd, data, off)
+            local_count = off - (len(header) + factor * lo)
+            assert local_count == factor * (hi - lo), (local_count, lo, hi)
+            # no collective needed: offsets are affine in the input offset
+            # (the end-of-run sync below is the only barrier)
             total_out = len(header) + factor * total
         else:
             # BPE: spool locally, then place at the all-gathered offset
-            with tempfile.NamedTemporaryFile(
-                dir=os.path.dirname(os.path.abspath(config.output)) or ".",
-                prefix=".blt_spool_",
-                delete=False,
-            ) as spool:
-                spool_path = spool.name
-                local_count = 0
-                for data in results:
-                    spool.write(data)
-                    # engines may yield ndarray/memoryview buffers whose
-                    # len() counts elements, not bytes
-                    local_count += getattr(data, "nbytes", None) or len(data)
+            spool_path = None
             try:
+                with tempfile.NamedTemporaryFile(
+                    dir=os.path.dirname(os.path.abspath(config.output)) or ".",
+                    prefix=".blt_spool_",
+                    delete=False,
+                ) as spool:
+                    spool_path = spool.name
+                    local_count = 0
+                    for data in results:
+                        spool.write(data)
+                        # engines may yield ndarray/memoryview buffers whose
+                        # len() counts elements, not bytes
+                        local_count += getattr(data, "nbytes", None) or len(data)
                 counts = (
                     _allgather_counts(local_count)
                     if nproc > 1
@@ -339,10 +378,15 @@ def run_tokenizer_distributed(config: CoreConfig) -> None:
                         buf = sp.read(1 << 22)
                         if not buf:
                             break
-                        off += os.pwrite(fd, buf, off)
+                        off += _pwrite_all(fd, buf, off)
                 total_out = len(header) + int(counts.sum())
             finally:
-                os.unlink(spool_path)
+                # an encode failure mid-spool must not leak the temp file
+                if spool_path is not None:
+                    try:
+                        os.unlink(spool_path)
+                    except OSError:
+                        pass
         if pid == 0:
             if header:
                 os.pwrite(fd, header, 0)

@@ -80,6 +80,21 @@ def _apply_one_rule(
     return out, count
 
 
+def _check_vocab(num_merges: int) -> int:
+    """Dense-histogram vocab guard: pair ids are tokens*vocab+nxt in int32,
+    so vocab must satisfy vocab**2 <= INT32_MAX (and the (V,V) histogram
+    must stay allocatable); beyond that the counts would silently wrap
+    and mode="drop" would discard them, biasing training."""
+    vocab = 256 + num_merges
+    if vocab * vocab > 2**31 - 1:
+        raise ValueError(
+            f"num_merges={num_merges} needs vocab {vocab}, beyond the dense "
+            "pair-histogram design limit (vocab**2 must fit int32, i.e. "
+            "num_merges <= 46084)"
+        )
+    return vocab
+
+
 def learn_bpe(data: bytes | np.ndarray, num_merges: int) -> BpeMerges:
     """Learn ``num_merges`` rules from a byte corpus (greedy max-frequency).
 
@@ -87,7 +102,7 @@ def learn_bpe(data: bytes | np.ndarray, num_merges: int) -> BpeMerges:
     when no pair occurs twice.
     """
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else data
-    vocab = 256 + num_merges
+    vocab = _check_vocab(num_merges)
     tokens = jnp.asarray(arr.astype(np.int32))
     length = jnp.int32(arr.shape[0])
     merges: BpeMerges = {}
@@ -159,17 +174,29 @@ def save_checkpoint(
     """
     keys = np.array(list(merges.keys()), np.int32).reshape(-1, 2)
     vals = np.array(list(merges.values()), np.int32)
-    tmp = f"{path}.tmp"
-    with open(tmp, "wb") as f:
-        np.savez(
-            f,
-            keys=keys,
-            vals=vals,
-            new_id=np.int32(new_id),
-            tokens=np.asarray(tokens),
-            lengths=np.asarray(lengths),
-        )
-    os.replace(tmp, path)
+    # unique tmp name (concurrent trainers must not clobber each other's
+    # half-written state) + fsync before the rename: on ext4/xfs the
+    # rename can become durable before the data, which would leave a
+    # truncated checkpoint at the final path after a power loss
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "wb") as f:
+            np.savez(
+                f,
+                keys=keys,
+                vals=vals,
+                new_id=np.int32(new_id),
+                tokens=np.asarray(tokens),
+                lengths=np.asarray(lengths),
+            )
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
 
 
 def load_checkpoint(path):
@@ -203,7 +230,7 @@ def learn_bpe_sharded(
     when it exists, producing the identical final table a crash-free run
     would have (training is deterministic).
     """
-    vocab = 256 + num_merges
+    vocab = _check_vocab(num_merges)
     merges: BpeMerges = {}
     new_id = 256
     if resume and checkpoint_path and os.path.exists(checkpoint_path):
