@@ -40,7 +40,7 @@ class ByteTokenizer:
         memory_cap: Optional[int] = None,
         engine: str = "auto",
     ):
-        if memory_cap is not None and memory_cap > 100:
+        if memory_cap is not None and not (0 <= memory_cap <= 100):
             raise ValueError("memory_cap must be between 0 and 100")
         if content_type is not None and content_type not in ("Text", "Bin"):
             raise ValueError("content_type must be 'Text' or 'Bin'")
@@ -55,6 +55,7 @@ class ByteTokenizer:
         self.memory_cap = memory_cap
         self.engine = Engine(engine)
         self._exp_table = None  # decode expansions, built lazily once
+        self._merge_table = None  # encode table, built lazily once
 
     def _config(self, input_path: str, output_path: str) -> CoreConfig:
         ct = ContentType(self.content_type) if self.content_type else None
@@ -118,8 +119,10 @@ class ByteTokenizer:
         arr = np.frombuffer(data, dtype=np.uint8)
         if self.merges is None:
             return arr.astype(np.int32)
-        table = MergeTable.build(self.merges)
-        return bpe_numpy.bpe_encode(arr, table)
+        if self._merge_table is None:
+            # pure function of the frozen merges dict: cached like _exp_table
+            self._merge_table = MergeTable.build(self.merges)
+        return bpe_numpy.bpe_encode(arr, self._merge_table)
 
     def __repr__(self) -> str:
         n_merges = len(self.merges) if self.merges is not None else 0

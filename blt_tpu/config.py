@@ -146,6 +146,7 @@ class CoreConfig:
             passthrough_mode=passthrough,
             decode_mode=decode,
             engine=engine,
+            merge_table=merge_table,
         )
 
     def with_merges(self, table: BpeMerges) -> "CoreConfig":

@@ -164,9 +164,17 @@ def kernel_copy(src: InputSource, writer: OutputWriter) -> bool:
                     writer.write(data)
                     offset += len(data)
                     remaining -= len(data)
-                return True
+                break
             if sent == 0:
                 break
             offset += sent
             remaining -= sent
+    if remaining > 0:
+        # the source shrank mid-copy (concurrent truncation): failing
+        # loudly beats logging success over a silently short output —
+        # the runner's partial-output cleanup then removes the file
+        raise OSError(
+            f"input truncated during passthrough copy: {remaining} of "
+            f"{src.size} bytes missing"
+        )
     return True

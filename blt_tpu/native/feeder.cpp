@@ -123,8 +123,10 @@ void blt_copy(const uint8_t* src, uint8_t* dst, size_t n, int threads) {
 size_t blt_flat_bpe(const uint8_t* src, size_t n, const int32_t* dense,
                     uint8_t* out, int carry_in, int32_t next_byte,
                     int* carry_out, int threads) {
-  *carry_out = 0;
+  // an empty chunk consumes nothing: the pending carry passes through
+  *carry_out = carry_in;
   if (n == 0) return 0;
+  *carry_out = 0;
   threads = clamp_threads(threads, n, 1 << 20);
 
   struct Range {
@@ -237,12 +239,10 @@ size_t blt_flat_bpe(const uint8_t* src, size_t n, const int32_t* dense,
   for (int t = 0; t < threads; ++t)
     if (ranges[t].hi > ranges[t].lo) active = t + 1;
 
-  size_t total = 0;
   int carry = carry_in;
   std::vector<int> carries(active);
   for (int t = 0; t < active; ++t) {
     carries[t] = carry;
-    total += carry ? ranges[t].count1 : ranges[t].count0;
     carry = carry ? ranges[t].co1 : ranges[t].co0;
   }
   *carry_out = carry;

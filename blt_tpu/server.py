@@ -144,7 +144,19 @@ class _Handler(BaseHTTPRequestHandler):
             except KeyError:
                 self._json(400, {"error": f"unknown type '{type_name}'"})
                 return
-        length = int(self.headers.get("Content-Length", 0))
+        if (self.headers.get("Transfer-Encoding", "").lower() == "chunked"
+                and "Content-Length" not in self.headers):
+            self._json(411, {"error": "chunked bodies are not supported; "
+                                      "send Content-Length"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+        except ValueError:
+            self._json(400, {"error": "malformed Content-Length"})
+            return
+        if length < 0:
+            self._json(400, {"error": "negative Content-Length"})
+            return
         data = self.rfile.read(length) if length else b""
         try:
             if url.path == "/detokenize":
@@ -195,11 +207,11 @@ def make_server(
     if engine == "jax":
         from blt_tpu.pipeline.engines import JaxEngine
 
-        eng = JaxEngine()
+        eng = JaxEngine(threads=threads)
     elif engine == "shard":
         from blt_tpu.pipeline.engines import ShardedJaxEngine
 
-        eng = ShardedJaxEngine()
+        eng = ShardedJaxEngine(threads=threads)
     else:
         eng = NumpyEngine(threads)
     from blt_tpu.ops.decode import build_expansion_table
