@@ -116,6 +116,32 @@ def one_trial(rng: np.random.Generator, trial: int, max_bytes: int) -> None:
                 f"chunk={chunksize}: {len(got)} vs {len(expected)} bytes"
             )
 
+    # Pallas flat kernel in interpreter mode (the CPU fuzz engines never
+    # exercise the TPU kernel path; the FF-FF cuckoo false-hit survived
+    # round 1 exactly because of that gap). Bounded: interpret mode is slow.
+    if flat and merges and 0 < len(data) <= 8192:
+        from blt_tpu.ops.bpe_pallas import PallasFlatEncoder, filter_slots
+
+        if PallasFlatEncoder.supports(table):
+            try:
+                enc = PallasFlatEncoder(
+                    table, capacity_bytes=1 << 14, interpret=True
+                )
+            except ValueError:
+                enc = None
+            if enc is not None:
+                arr = np.frombuffer(data, np.uint8)
+                s, _, _ = enc.encode(arr, False, -1)
+                toks_be, _ = filter_slots(
+                    np.asarray(s).reshape(-1)[: arr.shape[0]], 0
+                )
+                got = header + bytes(memoryview(toks_be).cast("B"))
+                want = header + tokens_to_be_bytes(bpe_encode_oracle(data, merges))
+                assert got == want, (
+                    f"trial {trial}: interpret-mode Pallas kernel mismatch "
+                    f"({len(got)} vs {len(want)} bytes)"
+                )
+
     # decode roundtrip: every invertible fuzzed table must satisfy
     # decode(encode(x)) == x through the real pipeline (ops/decode.py).
     # Fuzzed values are unique and >= 256, so invertibility only depends
