@@ -300,6 +300,36 @@ def main() -> None:
         # host compaction makes the measurement tunnel-bound on this
         # machine — it would record the link, not the kernel)
 
+        # the pure-XLA device paths (the Pallas fallbacks and the
+        # BLT_MULTIPASS=xla mode) on REAL hardware, vs the host oracle
+        from blt_tpu.ops import bpe_jax
+
+        nx = 4 * 1024 * 1024
+        hx = host[:nx].copy()
+        hx[2048:2052] = 255  # cover the FF-FF pair here too
+        dev = jnp.asarray(hx)
+        toksx, countx, _, _ = bpe_jax.flat_encode(
+            dev, jnp.int32(nx), jnp.asarray(table.dense),
+            jnp.asarray(False), jnp.int32(-1),
+        )
+        gotx = np.asarray(toksx)[: int(countx)].astype(np.int64)
+        expx = bpe_encode_flat(hx, table).astype(np.int64)
+        okx = gotx.shape == expx.shape and bool((gotx == expx).all())
+        log(f"exact_full[xla_flat] (4MB): {okx}")
+        exact_full["xla_flat"] = okx
+
+        from blt_tpu.ops.bpe_numpy import bpe_encode_multipass as mp_host
+
+        keysx, valsx = bpe_jax.sparse_table_device(hier_table)
+        toksx, countm = bpe_jax.multipass_encode(
+            jnp.asarray(hx[: 1 << 20]), jnp.int32(1 << 20), keysx, valsx
+        )
+        gotm = np.asarray(toksx)[: int(countm)]
+        expm = mp_host(hx[: 1 << 20], hier_table)
+        okxm = gotm.shape == expm.shape and bool((gotm == expm).all())
+        log(f"exact_full[xla_multipass] (1MB): {okxm}")
+        exact_full["xla_multipass"] = okxm
+
         # --- end-to-end file->file through the real pipeline (device engine)
         # + the interconnect roofline that bounds it on this machine ---
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
