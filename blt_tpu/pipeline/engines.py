@@ -453,6 +453,17 @@ class ShardedJaxEngine(JaxEngine):
     def _row_bytes(self, chunk_hint: int) -> int:
         return align_up(-(-chunk_hint // self.n_rows))
 
+    def _mesh_platform(self) -> str:
+        return str(self.mesh.devices.flat[0].platform)
+
+    def _pallas_multipass_selected(self, encoder_cls, table) -> bool:
+        # The mesh decides where shard_map runs: on a CPU (virtual) mesh
+        # the compiled Pallas kernel cannot lower, even when the process
+        # default backend is a TPU — route those to the XLA multipass.
+        if self._mesh_platform() == "cpu":
+            return False
+        return super()._pallas_multipass_selected(encoder_cls, table)
+
     def basic_stream(
         self, chunks: Iterable[np.ndarray], chunk_hint: int
     ) -> Iterator[bytes]:

@@ -371,6 +371,7 @@ class TestShardedTokenEncoder:
                 return "tpu"
 
         engine._jax = FakeJax()
+        monkeypatch.setattr(engine, "_mesh_platform", lambda: "tpu")
         called = {}
 
         def fake_pallas(chunks, table, hint):
