@@ -29,6 +29,24 @@ from blt_tpu.utils.logging import get_logger
 
 log = get_logger("engine")
 
+# In-memory device payloads (server/API) bucket their encoder capacity to
+# powers of two so a long-lived process compiles O(log max-payload)
+# kernels total instead of one Mosaic compile per distinct payload size
+# (the kernels are shape-specialized at 64KB block granularity,
+# ops/bpe_pallas.py). 64KB floor = one kernel block.
+DEVICE_HINT_FLOOR = 1 << 16
+
+
+def device_capacity_hint(size: int, engine) -> int:
+    """Capacity hint for a single in-memory payload of ``size`` bytes.
+
+    Device engines get the power-of-two bucket >= size; host engines keep
+    the exact size (no shape-specialized compilation to amortize).
+    """
+    if size <= 0 or getattr(engine, "name", "") not in ("jax", "shard"):
+        return size
+    return max(DEVICE_HINT_FLOOR, 1 << (size - 1).bit_length())
+
 
 class NumpyEngine:
     """Vectorized host engine (CPU path; also the small-input fast path).

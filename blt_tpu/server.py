@@ -58,15 +58,21 @@ def tokenize_bytes_wire(
     Mode truth table identical to lib.rs:271-282; the content-type header
     is prepended for every mode (lib.rs:254-263).
     """
+    from blt_tpu.pipeline.engines import device_capacity_hint
+
     engine = engine or NumpyEngine()
     arr = np.frombuffer(data, dtype=np.uint8)
     chunks = iter([arr]) if arr.size else iter(())
+    # Device engines bucket the encoder capacity to powers of two so a
+    # serving process reuses one compiled kernel per bucket instead of
+    # recompiling per distinct payload size (engines.device_capacity_hint).
+    hint = device_capacity_hint(arr.size, engine)
     if passthrough:
-        stream = engine.passthrough_stream(chunks, arr.size)
+        stream = engine.passthrough_stream(chunks, hint)
     elif table is not None and len(table):
-        stream = engine.bpe_stream(chunks, table, arr.size)
+        stream = engine.bpe_stream(chunks, table, hint)
     else:
-        stream = engine.basic_stream(chunks, arr.size)
+        stream = engine.basic_stream(chunks, hint)
     header = (
         content_type.token_value.to_bytes(2, "big") if content_type else b""
     )
@@ -192,6 +198,7 @@ def make_server(
     merges_path: Optional[Path] = None,
     threads: int = 0,
     engine: str = "numpy",
+    warmup_bytes: int = 0,
 ) -> ThreadingHTTPServer:
     """Build a ready-to-serve HTTP server (port 0 = ephemeral, for tests).
 
@@ -229,7 +236,24 @@ def make_server(
         (_Handler,),
         {"table": table, "engine": eng, "exp_table": exp_table},
     )
+    if warmup_bytes > 0:
+        _warmup(eng, table, warmup_bytes)
     return ThreadingHTTPServer((host, port), handler)
+
+
+def _warmup(engine, table: Optional[MergeTable], max_bytes: int) -> None:
+    """Pre-compile the device kernels for every capacity bucket <= max_bytes.
+
+    One tokenize per power-of-two bucket in the server's serving mode, so
+    the first real request of any size pays zero Mosaic/XLA compiles.
+    """
+    from blt_tpu.pipeline.engines import DEVICE_HINT_FLOOR
+
+    size = DEVICE_HINT_FLOOR
+    while size <= max_bytes:
+        log.info("warmup: %d-byte bucket", size)
+        tokenize_bytes_wire(b"\x00" * size, table=table, engine=engine)
+        size <<= 1
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
@@ -250,12 +274,25 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                    choices=["numpy", "jax", "shard"],
                    help="Compute backend (numpy: latency-bound payloads; "
                         "jax/shard: large-batch device serving)")
+    p.add_argument("--warmup", metavar="SIZE", default=None,
+                   help="Pre-compile device kernels for every payload "
+                        "bucket up to SIZE (e.g. 16MB) before serving")
     args = p.parse_args(argv)
+    warmup_bytes = 0
+    if args.warmup is not None:
+        from blt_tpu.utils.parsing import parse_chunk_size_str
+
+        try:
+            warmup_bytes = parse_chunk_size_str(args.warmup)
+        except ValueError as e:
+            print(f"Error starting server: {e}", file=sys.stderr)
+            return 1
     try:
         server = make_server(
             args.host, args.port,
             Path(args.merges) if args.merges else None, args.threads,
             engine=args.engine,
+            warmup_bytes=warmup_bytes,
         )
     except (OSError, ValueError) as e:
         print(f"Error starting server: {e}", file=sys.stderr)

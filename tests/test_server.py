@@ -120,3 +120,79 @@ def test_server_engine_option_jax():
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_device_capacity_hint_buckets():
+    """Device engines bucket capacity to powers of two (>= 64KB floor);
+    host engines keep the exact size (VERDICT r2: serving recompiles)."""
+    from blt_tpu.pipeline.engines import DEVICE_HINT_FLOOR, device_capacity_hint
+
+    class Dev:
+        name = "jax"
+
+    class Host:
+        name = "numpy"
+
+    assert device_capacity_hint(1, Dev()) == DEVICE_HINT_FLOOR
+    assert device_capacity_hint(DEVICE_HINT_FLOOR, Dev()) == DEVICE_HINT_FLOOR
+    assert device_capacity_hint(DEVICE_HINT_FLOOR + 1, Dev()) == 2 * DEVICE_HINT_FLOOR
+    assert device_capacity_hint(100_000, Dev()) == 1 << 17
+    assert device_capacity_hint(120_000, Dev()) == 1 << 17
+    assert device_capacity_hint((1 << 20) + 5, Dev()) == 1 << 21
+    assert device_capacity_hint(0, Dev()) == 0
+    assert device_capacity_hint(123, Host()) == 123
+
+
+def test_server_jax_requests_share_capacity_bucket():
+    """Two different-sized payloads in one pow2 bucket must reach the
+    device engine with the SAME capacity hint (one compiled kernel), and
+    the wire bytes must match the host engine exactly."""
+    import numpy as np
+
+    from blt_tpu.merges import MergeTable
+    from blt_tpu.pipeline.engines import JaxEngine, NumpyEngine
+
+    table = MergeTable.build({(97, 98): 256, (99, 100): 257})
+    eng = JaxEngine()
+    hints = []
+    orig = eng.bpe_stream
+
+    def recording(chunks, tbl, chunk_hint):
+        hints.append(chunk_hint)
+        return orig(chunks, tbl, chunk_hint)
+
+    eng.bpe_stream = recording
+    rng = np.random.default_rng(5)
+    host = NumpyEngine()
+    for size in (100_000, 120_000):
+        payload = rng.choice(
+            np.frombuffer(b"abcdab", np.uint8), size=size
+        ).astype(np.uint8).tobytes()
+        got = tokenize_bytes_wire(payload, table=table, engine=eng)
+        expected = tokenize_bytes_wire(payload, table=table, engine=host)
+        assert got == expected
+    assert hints == [1 << 17, 1 << 17]
+
+
+def test_server_warmup_compiles_each_bucket():
+    """--warmup pre-tokenizes one payload per pow2 bucket up to the cap."""
+    from blt_tpu.pipeline.engines import DEVICE_HINT_FLOOR
+    from blt_tpu.server import _warmup
+
+    calls = []
+
+    class FakeEngine:
+        name = "jax"
+
+        def bpe_stream(self, chunks, table, hint):
+            calls.append(hint)
+            return iter(())
+
+        def basic_stream(self, chunks, hint):
+            calls.append(hint)
+            return iter(())
+
+    _warmup(FakeEngine(), None, 4 * DEVICE_HINT_FLOOR)
+    assert calls == [
+        DEVICE_HINT_FLOOR, 2 * DEVICE_HINT_FLOOR, 4 * DEVICE_HINT_FLOOR
+    ]
