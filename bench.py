@@ -376,6 +376,23 @@ def main() -> None:
         extras["e2e_file_to_file"] = e2e
         extras["interconnect_roofline"] = roofline
 
+        # --- multi-chip scaling: recorded automatically whenever this
+        # bench ever runs on real multi-chip hardware; single-chip runs
+        # point at the committed virtual-mesh artifact instead ---
+        if len(jax.devices()) > 1:
+            import sys as _sys
+
+            _sys.path.insert(0, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "benches"))
+            from scaling_benchmark import run_mesh_scaling
+
+            extras["scaling"] = run_mesh_scaling(jax, mb_per_dev=8.0, iters=5)
+        else:
+            extras["scaling"] = {
+                "skipped": "single chip",
+                "virtual_mesh_artifact": "benches/results/scaling_r3.json",
+            }
+
     if os.environ.get("BLT_BENCH_EXTRAS", "1") != "0":
         try:
             run_extras()

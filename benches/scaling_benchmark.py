@@ -131,6 +131,21 @@ def main() -> None:
     else:
         import jax
 
+    sizes = [int(s) for s in args.mesh_sizes.split(",") if s] or None
+    for rec in run_mesh_scaling(
+        jax, mb_per_dev=args.mb, iters=args.iters, sizes=sizes
+    ):
+        print(json.dumps(rec))
+
+
+def run_mesh_scaling(jax, mb_per_dev: float = 8.0, iters: int = 5,
+                     sizes=None) -> list:
+    """Time the sharded flat-BPE encode over meshes of 1..N devices.
+
+    Returns one record per mesh size with bytes/s/chip and efficiency vs
+    the 1-device run. Callable from bench.py's extras so a real
+    multi-chip environment records scaling automatically.
+    """
     from blt_tpu.merges import MergeTable
     from blt_tpu.ops.bpe_numpy import bpe_encode_flat
     from blt_tpu.parallel.mesh import (
@@ -144,15 +159,13 @@ def main() -> None:
 
     enable_compilation_cache()
     devices = jax.devices()
-    sizes = (
-        [int(s) for s in args.mesh_sizes.split(",") if s]
-        if args.mesh_sizes
-        else sorted({1, 2, len(devices)} & set(range(1, len(devices) + 1)))
-        or [1]
-    )
+    if sizes is None:
+        sizes = sorted(
+            {1, 2, len(devices)} & set(range(1, len(devices) + 1))
+        ) or [1]
     sizes = [s for s in sizes if s <= len(devices)]
 
-    per_dev = int(args.mb * 1024 * 1024)
+    per_dev = int(mb_per_dev * 1024 * 1024)
     rng = np.random.default_rng(0)
     alphabet = np.frombuffer(b"etaoinshrdlu cmfwyp", np.uint8)
     merges = {}
@@ -185,17 +198,22 @@ def main() -> None:
         )
         tokens, counts_out, _ = step(batch_d, lengths_d, dense_d)
         jax.block_until_ready((tokens, counts_out))
-        # spot-check row 0 against the host oracle
-        got = np.asarray(tokens)[0][: int(np.asarray(counts_out)[0])]
-        exp = bpe_encode_flat(batch[0], table)
+        # Check the assembled stream against the host oracle: rows are one
+        # contiguous stream (cross-row carries), so per-row comparison
+        # against independent row encodes would be wrong at row tails.
+        tokens_h, counts_h = np.asarray(tokens), np.asarray(counts_out)
+        got = np.concatenate(
+            [tokens_h[r, : counts_h[r]] for r in range(n_dev)]
+        )
+        exp = bpe_encode_flat(batch.reshape(-1), table)
         assert got.tolist() == exp.tolist(), "sharded encode mismatch"
 
         t0 = time.perf_counter()
-        for _ in range(args.iters):
+        for _ in range(iters):
             tokens, counts_out, _ = step(batch_d, lengths_d, dense_d)
         jax.block_until_ready((tokens, counts_out))
         dt = time.perf_counter() - t0
-        total = n_dev * per_dev * args.iters
+        total = n_dev * per_dev * iters
         bps_chip = total / dt / n_dev
         if base_bps is None:
             base_bps = bps_chip
@@ -207,7 +225,7 @@ def main() -> None:
                 "backend": jax.default_backend(),
             }
         )
-        print(json.dumps(results[-1]))
+    return results
 
 
 if __name__ == "__main__":
