@@ -297,6 +297,22 @@ def test_e2e_fuzz_bounded():
         fuzz_e2e.one_trial(rng, t, max_bytes=60_000)
 
 
+def test_e2e_fuzz_multiproc_bounded():
+    """Bounded slice of the REAL multi-process execution fuzz leg
+    (tools/fuzz_e2e.py one_multiproc_trial): 2-3 actual jax.distributed
+    CPU processes, one shared output, byte-compared to single-process —
+    including decode and non-flat chunk-grid alignment by seed choice."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import fuzz_e2e
+
+    rng = np.random.default_rng(7)
+    for t in range(2):
+        fuzz_e2e.one_multiproc_trial(rng, t, max_bytes=50_000)
+
+
 def test_pallas_encoder_construction_failure_falls_back(monkeypatch):
     """A PallasFlatEncoder construction failure must fall back to the XLA
     path BEFORE any output is emitted (VERDICT r1 item 8)."""
