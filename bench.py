@@ -351,26 +351,60 @@ def main() -> None:
             with open(mp, "w") as f:
                 for a, b in [(101, 116), (116, 97), (97, 111), (32, 101)]:
                     f.write(f"{a} {b}\n")
+            from blt_tpu.pipeline import feeder as _feeder
+
             for mode in ("basic", "bpe"):
+                # first run = compile + warm-up; second = steady state
+                # (records the compile-vs-steady split, VERDICT r2 item 7)
+                _feeder.stage_stats(reset=True)
+                dt_first = run_once(ip, op, mode, Engine.JAX, mp)
+                _feeder.stage_stats(reset=True)
                 dt = run_once(ip, op, mode, Engine.JAX, mp)
+                occupancy = _feeder.stage_stats(reset=True)
                 rate = size / dt
                 e2e[f"{mode}_100mb_bytes_per_sec"] = rate
+                e2e[f"{mode}_100mb_first_run_bytes_per_sec"] = size / dt_first
+                e2e[f"{mode}_100mb_compile_overhead_s"] = dt_first - dt
+                e2e[f"{mode}_stage_occupancy"] = occupancy
                 # the end-to-end ceiling on THIS machine: the input crosses
-                # the host->device link once and the output (out_ratio x
-                # input) crosses device->host once; perfect overlap cannot
-                # beat the serial link bound 1/(1/h2d + r/d2h)
+                # the link once and the output (out_ratio x input) crosses
+                # back once. The measured duplex_factor decides how much
+                # the two directions share one capacity: half-duplex (~1)
+                # gives the serial bound 1/(1/h2d + r/d2h); full duplex
+                # (~2) gives min(h2d, d2h/r).
                 out_ratio = os.path.getsize(op) / size
-                bound = 1.0 / (
-                    1.0 / roofline["h2d_bytes_per_sec"]
-                    + out_ratio / roofline["d2h_bytes_per_sec"]
-                )
+                h2d = roofline["h2d_bytes_per_sec"]
+                d2h = roofline["d2h_bytes_per_sec"]
+                df = roofline.get("duplex_factor", 1.0)
+                serial = 1.0 / (1.0 / h2d + out_ratio / d2h)
+                bound = min(h2d, d2h / out_ratio, serial * df)
                 e2e[f"{mode}_link_bound_bytes_per_sec"] = bound
+                e2e[f"{mode}_link_bound_model"] = (
+                    "min(h2d, d2h/r, duplex_factor/(1/h2d + r/d2h))"
+                )
                 e2e[f"{mode}_efficiency_vs_link"] = rate / bound
                 log(
                     f"e2e {mode} 100MB (jax engine): {rate/1e6:.1f} MB/s "
-                    f"= {rate/bound:.0%} of the measured link bound "
-                    f"({bound/1e6:.1f} MB/s)"
+                    f"= {rate/bound:.0%} of the duplex-corrected link bound "
+                    f"({bound/1e6:.1f} MB/s, duplex_factor={df:.2f}); "
+                    f"first-run {size/dt_first/1e6:.1f} MB/s"
                 )
+
+            # small-payload warm-start split: is the 10MB gap compile cost
+            # or per-run fixed cost? (VERDICT r2 items 6/7)
+            ip10 = os.path.join(td, "in10.bin")
+            n10 = 10 * 1024 * 1024
+            make_file(ip10, n10)
+            dt10_first = run_once(ip10, op, "basic", Engine.JAX, mp)
+            dt10 = run_once(ip10, op, "basic", Engine.JAX, mp)
+            e2e["basic_10mb_first_run_bytes_per_sec"] = n10 / dt10_first
+            e2e["basic_10mb_bytes_per_sec"] = n10 / dt10
+            e2e["basic_10mb_compile_overhead_s"] = dt10_first - dt10
+            log(
+                f"e2e basic 10MB: warm {n10/dt10/1e6:.1f} MB/s, "
+                f"first {n10/dt10_first/1e6:.1f} MB/s "
+                f"(compile/setup {dt10_first - dt10:.2f}s)"
+            )
 
         extras["packed_dense_50k_bytes_per_sec"] = dense_bps
         extras["e2e_file_to_file"] = e2e

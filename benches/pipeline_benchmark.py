@@ -99,10 +99,53 @@ def measure_roofline() -> dict:
         r = f(s)
     r.block_until_ready()
     dispatch_ms = (time.perf_counter() - t0) / 20 * 1e3
+
+    # Duplex probe: saturate both directions CONCURRENTLY for ~3s. A
+    # full-duplex link sustains both one-way rates at once (factor ~2);
+    # a half-duplex/serialized link splits its one capacity (factor ~1).
+    # The correct e2e pipeline bound depends on which this machine is
+    # (VERDICT r2 item 1).
+    import threading
+
+    n2 = 8 * 1024 * 1024
+    x2 = x[:n2]
+    stop = threading.Event()
+    moved = {"h2d": 0, "d2h": 0}
+
+    def h2d_loop():
+        while not stop.is_set():
+            d = jax.device_put(x2)
+            jax.block_until_ready(d)
+            moved["h2d"] += n2
+
+    def d2h_loop():
+        d = f(jax.device_put(x2))
+        jax.block_until_ready(d)
+        while not stop.is_set():
+            d = f(d)  # fresh array: defeat host-copy caching
+            np.asarray(d)
+            moved["d2h"] += n2
+
+    th, td = threading.Thread(target=h2d_loop), threading.Thread(target=d2h_loop)
+    t0 = time.perf_counter()
+    th.start()
+    td.start()
+    time.sleep(3.0)
+    stop.set()
+    th.join()
+    td.join()
+    dt = time.perf_counter() - t0
+    h2d_c = moved["h2d"] / dt
+    d2h_c = moved["d2h"] / dt
+    duplex_factor = min(2.0, h2d_c / max(h2d, 1) + d2h_c / max(d2h, 1))
+
     return {
         "backend": jax.default_backend(),
         "h2d_bytes_per_sec": h2d,
         "d2h_bytes_per_sec": d2h,
+        "h2d_concurrent_bytes_per_sec": h2d_c,
+        "d2h_concurrent_bytes_per_sec": d2h_c,
+        "duplex_factor": duplex_factor,
         "dispatch_ms": dispatch_ms,
     }
 

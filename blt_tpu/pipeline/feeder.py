@@ -30,11 +30,37 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from typing import Callable, Iterable, Iterator, Optional, TypeVar
 
 T = TypeVar("T")
 
 _SENTINEL = object()
+
+# Per-stage occupancy accounting (bench.py uses this to attribute e2e
+# stalls): for each named stage, cumulative seconds the worker spent
+# producing items (src_time), blocked handing off (put_wait), and the
+# consumer spent waiting on it (get_wait). Cheap (a few perf_counter
+# calls per *batch*), so always on.
+_STATS_LOCK = threading.Lock()
+_STAGE_STATS: dict = {}
+
+
+def _stat(name: str):
+    with _STATS_LOCK:
+        return _STAGE_STATS.setdefault(
+            name,
+            {"items": 0, "src_time": 0.0, "put_wait": 0.0, "get_wait": 0.0},
+        )
+
+
+def stage_stats(reset: bool = False) -> dict:
+    """Snapshot (and optionally reset) cumulative per-stage timings."""
+    with _STATS_LOCK:
+        snap = {k: dict(v) for k, v in _STAGE_STATS.items()}
+        if reset:
+            _STAGE_STATS.clear()
+    return snap
 
 
 class _Failure:
@@ -54,16 +80,29 @@ def prefetch_iter(it: Iterable[T], depth: int = 2, name: str = "feeder") -> Iter
     """
     q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
     abandoned = threading.Event()
+    stats = _stat(name)
 
     def worker() -> None:
         try:
-            for item in it:
+            src = iter(it)
+            while True:
+                t0 = time.perf_counter()
+                try:
+                    item = next(src)
+                except StopIteration:
+                    break
+                t1 = time.perf_counter()
                 while not abandoned.is_set():
                     try:
                         q.put(item, timeout=0.1)
                         break
                     except queue.Full:
                         continue
+                t2 = time.perf_counter()
+                with _STATS_LOCK:
+                    stats["items"] += 1
+                    stats["src_time"] += t1 - t0
+                    stats["put_wait"] += t2 - t1
                 if abandoned.is_set():
                     return
         except BaseException as e:  # propagate to consumer
@@ -86,7 +125,10 @@ def prefetch_iter(it: Iterable[T], depth: int = 2, name: str = "feeder") -> Iter
     t.start()
     try:
         while True:
+            t0 = time.perf_counter()
             item = q.get()
+            with _STATS_LOCK:
+                stats["get_wait"] += time.perf_counter() - t0
             if item is _SENTINEL:
                 return
             if isinstance(item, _Failure):
