@@ -414,11 +414,7 @@ def main() -> None:
         # bench ever runs on real multi-chip hardware; single-chip runs
         # point at the committed virtual-mesh artifact instead ---
         if len(jax.devices()) > 1:
-            import sys as _sys
-
-            _sys.path.insert(0, os.path.join(os.path.dirname(
-                os.path.abspath(__file__)), "benches"))
-            from scaling_benchmark import run_mesh_scaling
+            from benches.scaling_benchmark import run_mesh_scaling
 
             extras["scaling"] = run_mesh_scaling(jax, mb_per_dev=8.0, iters=5)
         else:

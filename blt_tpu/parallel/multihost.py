@@ -286,7 +286,7 @@ def run_tokenizer_distributed(config: CoreConfig) -> None:
     import jax
 
     from blt_tpu.pipeline.engines import select_engine
-    from blt_tpu.pipeline.runner import _device_batch_bytes
+    from blt_tpu.pipeline.runner import _device_batch_bytes, _plan_feed_size
 
     if config.input is None or str(config.input) == "-":
         raise ValueError("multi-host runs require a file input (stdin is per-host)")
@@ -325,7 +325,11 @@ def run_tokenizer_distributed(config: CoreConfig) -> None:
     )
     feed_size = effective_chunk_size
     if invariant and engine.name in ("jax", "shard"):
-        feed_size = max(effective_chunk_size, _device_batch_bytes())
+        # equalized batches over this host's byte range (zero padded-
+        # capacity transfers; see runner._plan_feed_size)
+        feed_size = _plan_feed_size(
+            hi - lo, effective_chunk_size, _device_batch_bytes()
+        )
 
     def chunks():
         for start in range(lo, hi, feed_size):

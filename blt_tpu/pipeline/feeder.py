@@ -80,7 +80,6 @@ def prefetch_iter(it: Iterable[T], depth: int = 2, name: str = "feeder") -> Iter
     """
     q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
     abandoned = threading.Event()
-    stats = _stat(name)
 
     def worker() -> None:
         try:
@@ -99,6 +98,9 @@ def prefetch_iter(it: Iterable[T], depth: int = 2, name: str = "feeder") -> Iter
                     except queue.Full:
                         continue
                 t2 = time.perf_counter()
+                # re-resolve the dict each time: stage_stats(reset=True)
+                # swaps the registry under live pipelines
+                stats = _stat(name)
                 with _STATS_LOCK:
                     stats["items"] += 1
                     stats["src_time"] += t1 - t0
@@ -127,6 +129,7 @@ def prefetch_iter(it: Iterable[T], depth: int = 2, name: str = "feeder") -> Iter
         while True:
             t0 = time.perf_counter()
             item = q.get()
+            stats = _stat(name)
             with _STATS_LOCK:
                 stats["get_wait"] += time.perf_counter() - t0
             if item is _SENTINEL:

@@ -27,18 +27,39 @@ import numpy as np
 from blt_tpu.config import CoreConfig, Mode
 from blt_tpu.io.sources import OutputWriter, setup_io
 from blt_tpu.pipeline.engines import AutoStreamEngine, JaxEngine, select_engine
-from blt_tpu.utils.chunking import get_effective_chunk_size
+from blt_tpu.utils.chunking import align_up, get_effective_chunk_size
 from blt_tpu.utils.logging import get_logger, span
 from blt_tpu.utils.profiling import maybe_profile
 
 log = get_logger("runner")
 
-DEVICE_BATCH_BYTES = 64 * 1024 * 1024
+DEVICE_BATCH_BYTES = 16 * 1024 * 1024
+# one Pallas kernel block (rows_per_block x lanes): capacities round up
+# to this, so equalized batches aligned to it upload/download zero pad
+_BATCH_ALIGN = 64 * 1024
 
 
 def _device_batch_bytes() -> int:
     """Device feed batch size; env-tunable (tests use small batches)."""
     return int(os.environ.get("BLT_DEVICE_BATCH_BYTES", DEVICE_BATCH_BYTES))
+
+
+def _plan_feed_size(total, chunk: int, dev: int) -> int:
+    """Equalized device batches for size-invariant modes.
+
+    Fixed-capacity encoders move their FULL padded buffers both ways, so
+    a partial batch pays the whole capacity over the link: a 100MB file
+    in 64MB batches used to move 64+128MB for its 36MB tail (measured —
+    the entire gap to the half-duplex link bound, tools/exp_e2e.py).
+    Splitting a known-size input into ceil(total/dev) equal aligned
+    batches makes every batch full to within one kernel block, and a
+    small file becomes one exactly-sized batch.
+    """
+    dev = max(dev, chunk)  # an explicit --chunksize may RAISE the batch size
+    if not total:
+        return dev
+    nb = max(1, -(-total // dev))
+    return min(dev, align_up(-(-total // nb), _BATCH_ALIGN))
 
 
 def run_tokenizer(config: CoreConfig) -> None:
@@ -97,7 +118,9 @@ def run_tokenizer(config: CoreConfig) -> None:
             mode == Mode.BPE and config.table().flat
         )
         if isinstance(engine, (JaxEngine, AutoStreamEngine)) and invariant_output:
-            feed_size = max(effective_chunk_size, _device_batch_bytes())
+            feed_size = _plan_feed_size(
+                src.size, effective_chunk_size, _device_batch_bytes()
+            )
 
         chunks = src.chunks(feed_size)
         if mode == Mode.PASSTHROUGH:

@@ -246,11 +246,16 @@ def _warmup(engine, table: Optional[MergeTable], max_bytes: int) -> None:
 
     One tokenize per power-of-two bucket in the server's serving mode, so
     the first real request of any size pays zero Mosaic/XLA compiles.
+    Always warms at least the floor bucket (every small request maps to
+    it). Host engines have no compile step: nothing to warm.
     """
     from blt_tpu.pipeline.engines import DEVICE_HINT_FLOOR
 
+    if getattr(engine, "name", "") not in ("jax", "shard"):
+        log.info("warmup: host engine has no compile step; skipping")
+        return
     size = DEVICE_HINT_FLOOR
-    while size <= max_bytes:
+    while size <= max(max_bytes, DEVICE_HINT_FLOOR):
         log.info("warmup: %d-byte bucket", size)
         tokenize_bytes_wire(b"\x00" * size, table=table, engine=engine)
         size <<= 1

@@ -418,3 +418,26 @@ def test_auto_engine_selection_for_streams():
 
     assert isinstance(eng.select_engine(Engine.AUTO, None), eng.AutoStreamEngine)
     assert isinstance(eng.select_engine(Engine.AUTO, 1000), eng.NumpyEngine)
+
+
+def test_plan_feed_size_equalizes_batches():
+    """Known-size inputs split into equal aligned batches so fixed-capacity
+    encoders never move padded bytes over the link (exp_e2e finding)."""
+    from blt_tpu.pipeline.runner import _BATCH_ALIGN, _plan_feed_size
+
+    mb = 1024 * 1024
+    # small file: one exactly-sized batch (aligned up), not the 16MB default
+    assert _plan_feed_size(10 * mb, 16 * mb, 16 * mb) == 10 * mb
+    f = _plan_feed_size(10 * mb + 5, 16 * mb, 16 * mb)
+    assert f % _BATCH_ALIGN == 0 and 10 * mb < f <= 10 * mb + _BATCH_ALIGN
+    # 100MB at 16MB batches: 7 equal batches, no 64MB-capacity tail waste
+    f = _plan_feed_size(100 * mb, 16 * mb, 16 * mb)
+    assert f % _BATCH_ALIGN == 0
+    n_batches = -(-100 * mb // f)
+    assert n_batches == 7
+    assert n_batches * f - 100 * mb < n_batches * _BATCH_ALIGN
+    # huge input: batches equal the device batch size
+    assert _plan_feed_size(64 * 16 * mb, 16 * mb, 16 * mb) == 16 * mb
+    # unknown size (stdin): fall back to max(chunk, dev)
+    assert _plan_feed_size(None, 4 * mb, 16 * mb) == 16 * mb
+    assert _plan_feed_size(0, 32 * mb, 16 * mb) == 32 * mb

@@ -119,6 +119,9 @@ def body_g8bit(tbl8_ref, p):
 def make_pallas(body, tbl, rows, k, interpret=False, rpb=512):
     tbl_d = jax.device_put(tbl)
     rpb = min(rpb, rows)
+    assert rows % rpb == 0, (
+        f"--rows must be a multiple of {rpb} (grid tail would be dropped)"
+    )
 
     def kernel(tbl_ref, p_ref, out_ref):
         p = p_ref[:]

@@ -252,20 +252,39 @@ def one_multiproc_trial(
             env["BLT_PROCESS_ID"] = str(pid)
             return env
 
+        # stderr to temp files (not pipes): a chatty worker blocking on a
+        # full pipe before the jax.distributed barrier would deadlock the
+        # sequential reaping below
+        errs = [
+            tempfile.NamedTemporaryFile(prefix=f"blt_fuzz_err{pid}_")
+            for pid in range(nproc)
+        ]
         procs = [
             subprocess.Popen(
                 [sys.executable, "-c", _MP_WORKER, json.dumps(spec)],
                 env=env_for(pid),
-                stdout=subprocess.PIPE,
-                stderr=subprocess.PIPE,
+                stdout=subprocess.DEVNULL,
+                stderr=errs[pid],
             )
             for pid in range(nproc)
         ]
-        for p in procs:
-            _, err = p.communicate(timeout=300)
-            assert p.returncode == 0, (
-                f"trial {trial} (mp): worker failed:\n{err.decode()}"
-            )
+        try:
+            for pid, p in enumerate(procs):
+                p.wait(timeout=300)
+                errs[pid].seek(0)
+                assert p.returncode == 0, (
+                    f"trial {trial} (mp): worker {pid} failed:\n"
+                    f"{errs[pid].read().decode()}"
+                )
+        finally:
+            # a failed/timed-out worker must not leave siblings blocked
+            # on the dead coordinator
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
+            for e in errs:
+                e.close()
 
     from blt_tpu.config import ContentType, CoreConfig, Engine
     from blt_tpu.pipeline.runner import run_tokenizer
