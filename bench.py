@@ -296,9 +296,41 @@ def main() -> None:
         okm = got_mp.shape == exp_mp.shape and bool((got_mp == exp_mp).all())
         log(f"exact_full[multipass] (8MB): {okm}")
         exact_full["multipass"] = okm
-        # (no rate is recorded for the multipass path here: its per-round
-        # host compaction makes the measurement tunnel-bound on this
-        # machine — it would record the link, not the kernel)
+
+        # device-resident multipass rate: the repeat-until-done loop runs
+        # entirely on device (while_loop + sort compaction), so a
+        # resident-buffer rep measures the kernel+compaction, not the link
+        got_res = enc_tok.encode_resident(chunk)
+        okr = got_res.shape == exp_mp.shape and bool((got_res == exp_mp).all())
+        log(f"exact_full[multipass_resident] (8MB): {okr}")
+        exact_full["multipass_resident"] = okr
+        from blt_tpu.ops.bpe_pallas import _multipass_resident_call
+
+        cap = enc_tok.capacity
+        nb_ = cap // enc_tok.block
+        pr = nb_ * enc_tok.rows_per_block + 8
+        bufm = np.zeros((pr * 128,), np.int32)
+        bufm[: chunk.shape[0]] = chunk
+        bufm_d = jnp.asarray(bufm)
+        hp = jnp.asarray(
+            [enc_tok.a1, enc_tok.a2, enc_tok.shift], jnp.int32
+        )
+        args_mp = dict(capacity=cap, interpret=False,
+                       rows_per_block=enc_tok.rows_per_block)
+        o, m = _multipass_resident_call(
+            bufm_d, jnp.int32(chunk.shape[0]), hp,
+            enc_tok.k1, enc_tok.v1, enc_tok.k2, enc_tok.v2, **args_mp)
+        jax.block_until_ready((o, m))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            o, m = _multipass_resident_call(
+                bufm_d, jnp.int32(chunk.shape[0]), hp,
+                enc_tok.k1, enc_tok.v1, enc_tok.k2, enc_tok.v2, **args_mp)
+        jax.block_until_ready((o, m))
+        mp_bps = chunk.shape[0] * 3 / (time.perf_counter() - t0)
+        extras["multipass_resident_bytes_per_sec"] = mp_bps
+        log(f"multipass device-resident (hierarchical, 8MB): "
+            f"{mp_bps/1e6:.1f} MB/s")
 
         # the pure-XLA device paths (the Pallas fallbacks and the
         # BLT_MULTIPASS=xla mode) on REAL hardware, vs the host oracle

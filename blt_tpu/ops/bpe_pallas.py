@@ -732,12 +732,74 @@ def _token_pass_call(
     )(params, data3, data3, k1, v1, k2, v2)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("capacity", "interpret", "rows_per_block")
+)
+def _multipass_resident_call(
+    buf: jnp.ndarray,  # int32[padded_rows*128] (halo rows zeroed)
+    n: jnp.ndarray,  # int32 scalar: valid token count
+    hash_params: jnp.ndarray,  # int32[3]: a1, a2, shift
+    k1: jnp.ndarray,
+    v1: jnp.ndarray,
+    k2: jnp.ndarray,
+    v2: jnp.ndarray,
+    capacity: int,
+    interpret: bool = False,
+    rows_per_block: int = ROWS_PER_BLOCK,
+):
+    """Full multipass with ON-DEVICE compaction: one H2D + one D2H total.
+
+    The token-pass kernel runs inside lax.while_loop; between passes the
+    -1 tombstones are compacted with a stable device partition
+    (sort_key_val over [alive ? iota : capacity+iota]) instead of a host
+    round trip. Measured on a tunneled v5e (4MB, ~10-round table):
+    host-compaction 1.6 MB/s, this loop 9.6 MB/s end-to-end / 82 MB/s
+    with resident buffers (tools/exp_mp.py). Loop semantics mirror
+    reference tokenizer.rs:63-86: repeat until a pass makes zero merges.
+    """
+    rpb = rows_per_block
+    padded_rows = buf.shape[0] // LANES
+    iota = jnp.arange(capacity, dtype=jnp.int32)
+    total = padded_rows * LANES
+
+    def one_pass(b, m):
+        params = jnp.concatenate(
+            [m.reshape(1), hash_params, jnp.zeros(4, jnp.int32)]
+        )
+        out = _token_pass_call(
+            params, b.reshape(padded_rows, LANES), k1, v1, k2, v2,
+            interpret=interpret, rows_per_block=rpb,
+        ).reshape(-1)[:capacity]
+        alive = (out != -1) & (iota < m)
+        m2 = jnp.sum(alive.astype(jnp.int32))
+        keys = jnp.where(alive, iota, capacity + iota)
+        _, compacted = jax.lax.sort_key_val(keys, out)
+        b2 = jnp.zeros((total,), jnp.int32).at[:capacity].set(compacted)
+        return b2, m2
+
+    def cond(state):
+        _, prev, m, first = state
+        return first | ((m < prev) & (m > 1))
+
+    def body(state):
+        b, _, m, _ = state
+        b2, m2 = one_pass(b, m)
+        return b2, m, m2, jnp.asarray(False)
+
+    b, _, m, _ = jax.lax.while_loop(
+        cond, body, (buf, n + 1, n, jnp.asarray(True))
+    )
+    return b[:capacity], m
+
+
 class PallasTokenEncoder:
     """Multipass encoder for general tables (hierarchical rules included).
 
     Each device pass applies one whole-sequence merge round at flat-kernel
-    speed; the host compacts -1 tombstones between passes and stops when a
-    pass makes zero merges — the repeat-until-done loop of the reference
+    speed. ``encode_resident`` keeps the repeat-until-done loop on device
+    (lax.while_loop + stable sort compaction, one transfer each way);
+    ``encode`` compacts -1 tombstones on the host between passes. Both
+    implement the reference's repeat-until-no-merges loop
     (tokenizer.rs:63-86) with per-chunk semantics (no cross-chunk state,
     matching the reference's chunked behavior for general tables).
     """
@@ -814,6 +876,44 @@ class PallasTokenEncoder:
                 return kept
             toks = np.ascontiguousarray(kept)
         return toks
+
+    def _capacity_for(self, n: int) -> int:
+        return (
+            self.capacity
+            if self.capacity
+            else -(-max(n, 1) // self.block) * self.block
+        )
+
+    def encode_resident_dispatch(self, data: np.ndarray):
+        """Dispatch the device-resident multipass; returns device handles.
+
+        Returns (tokens_dev int32[capacity], count_dev int32 scalar) so a
+        pipeline can overlap the D2H of one chunk with the next chunk's
+        passes; use ``encode_resident`` for the blocking variant.
+        """
+        n = data.shape[0]
+        capacity = self._capacity_for(n)
+        assert n <= capacity, f"batch {n} exceeds encoder capacity {capacity}"
+        num_blocks = capacity // self.block
+        padded_rows = num_blocks * self.rows_per_block + 8
+        buf = np.zeros((padded_rows * LANES,), np.int32)
+        buf[:n] = data
+        return _multipass_resident_call(
+            jnp.asarray(buf),
+            jnp.int32(n),
+            jnp.asarray([self.a1, self.a2, self.shift], jnp.int32),
+            self.k1, self.v1, self.k2, self.v2,
+            capacity=capacity,
+            interpret=self.interpret,
+            rows_per_block=self.rows_per_block,
+        )
+
+    def encode_resident(self, data: np.ndarray) -> np.ndarray:
+        """Full multipass encode, repeat-until-done loop on device."""
+        if data.shape[0] <= 1:
+            return data.astype(np.int32)
+        toks_d, m_d = self.encode_resident_dispatch(data)
+        return np.asarray(toks_d)[: int(m_d)]
 
 
 class ShardedTokenEncoder:

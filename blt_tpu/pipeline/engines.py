@@ -382,17 +382,30 @@ class JaxEngine:
     def _bpe_multipass_pallas_stream(
         self, chunks: Iterable[np.ndarray], table: MergeTable, chunk_hint: int
     ) -> Iterator[bytes]:
-        """Pallas token-pass kernel per merge round, host compaction between
-        rounds; per-chunk semantics (general tables match the reference's
-        chunk-dependent output, SURVEY.md 2.1.6)."""
+        """Device-resident multipass: the whole repeat-until-done loop runs
+        on device (lax.while_loop around the token-pass kernel, stable-sort
+        compaction between rounds — bpe_pallas._multipass_resident_call),
+        one H2D + one D2H per chunk. ``depth`` chunks stay in flight so the
+        D2H of one overlaps the passes of the next. Per-chunk semantics
+        (general tables match the reference's chunk-dependent output,
+        SURVEY.md 2.1.6)."""
         from blt_tpu.ops.bpe_pallas import PallasTokenEncoder
 
         enc = PallasTokenEncoder(table, capacity_tokens=align_up(chunk_hint))
+        pending = collections.deque()
+
+        def drain() -> bytes:
+            toks_d, m_d = pending.popleft()
+            return np.asarray(toks_d)[: int(m_d)].astype(">u2")
+
         for chunk in chunks:
             if chunk.shape[0] == 0:
                 continue
-            toks = enc.encode(chunk)
-            yield toks.astype(">u2")
+            pending.append(enc.encode_resident_dispatch(chunk))
+            if len(pending) > self.depth:
+                yield drain()
+        while pending:
+            yield drain()
 
     def _bpe_multipass_xla_stream(
         self, chunks: Iterable[np.ndarray], table: MergeTable, chunk_hint: int

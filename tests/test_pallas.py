@@ -321,3 +321,84 @@ def test_pipelined_engine_stream_interpret_exact():
     expected = bpe_encode_flat(data, t)
     got = np.frombuffer(out, ">u2").astype(np.int64)
     assert got.tolist() == expected.tolist()
+
+
+def test_encode_resident_matches_host_compaction():
+    """Device-resident multipass (lax.while_loop + on-device stable-sort
+    compaction) must equal the host-compaction encoder and the oracle,
+    including value collisions and multi-block parity carries."""
+    from blt_tpu.ops.bpe_numpy import bpe_encode_multipass
+    from blt_tpu.ops.bpe_pallas import PallasTokenEncoder
+
+    rng = np.random.default_rng(17)
+    merges = {
+        (97, 98): 256, (256, 99): 257, (257, 257): 258,
+        (120, 121): 90, (90, 122): 0, (0, 97): 400,
+    }
+    t = MergeTable.build(merges)
+    enc = PallasTokenEncoder(t, interpret=True)
+    for n in (0, 1, 2, 777, 4096, BLOCK + 33):
+        data = rng.choice(
+            np.frombuffer(b"abcabcxyzaxyz", np.uint8), size=n
+        ).astype(np.uint8)
+        got = enc.encode_resident(data).tolist()
+        exp = bpe_encode_multipass(data, t).tolist()
+        assert got == exp, n
+
+
+def test_encode_resident_fixed_capacity_and_all_merges():
+    """Fixed-capacity encoder: short batches pad up; an all-'a' corpus
+    collapses through chained rules (pass count > 2)."""
+    from blt_tpu.ops.bpe_numpy import bpe_encode_multipass
+    from blt_tpu.ops.bpe_pallas import PallasTokenEncoder
+
+    t = MergeTable.build({(97, 97): 256, (256, 256): 257, (257, 257): 258})
+    enc = PallasTokenEncoder(t, interpret=True, capacity_tokens=8192)
+    data = np.full(5000, 97, np.uint8)
+    got = enc.encode_resident(data)
+    exp = bpe_encode_multipass(data, t)
+    assert got.tolist() == exp.tolist()
+
+
+def test_jax_engine_multipass_routes_resident(monkeypatch):
+    """The single-device engine's Pallas multipass route must go through
+    the device-resident dispatch (one transfer each way per chunk)."""
+    from blt_tpu.merges import MergeTable as MT
+    from blt_tpu.ops.bpe_numpy import bpe_encode_multipass
+    from blt_tpu.ops import bpe_pallas
+    from blt_tpu.pipeline.engines import JaxEngine
+
+    engine = JaxEngine()
+
+    class FakeJax:
+        def __getattr__(self, name):
+            import jax
+
+            return getattr(jax, name)
+
+        def default_backend(self):
+            return "tpu"
+
+    engine._jax = FakeJax()
+    calls = {"n": 0}
+    orig = bpe_pallas.PallasTokenEncoder.encode_resident_dispatch
+
+    def counting(self, data):
+        calls["n"] += 1
+        # interpret mode: the compiled kernel cannot lower on CPU
+        self.interpret = True
+        return orig(self, data)
+
+    monkeypatch.setattr(
+        bpe_pallas.PallasTokenEncoder, "encode_resident_dispatch", counting
+    )
+    t = MT.build({(97, 98): 256, (256, 99): 257})
+    chunks = [np.frombuffer(b"abcabcab", np.uint8),
+              np.frombuffer(b"abcx", np.uint8)]
+    out = b"".join(engine.bpe_stream(iter(chunks), t, 4096))
+    exp = b"".join(
+        np.asarray(bpe_encode_multipass(c, t), np.uint16).astype(">u2").tobytes()
+        for c in chunks
+    )
+    assert out == exp
+    assert calls["n"] == 2
