@@ -948,6 +948,7 @@ class ShardedTokenEncoder:
         self.capacity = self._single.capacity
         assert self.capacity, "ShardedTokenEncoder requires a fixed capacity"
         self._call = None
+        self._resident_call = None
 
     @staticmethod
     def supports(table: MergeTable) -> bool:
@@ -1035,6 +1036,76 @@ class ShardedTokenEncoder:
                     active[r] = False
                 toks[r] = np.ascontiguousarray(kept)
         return toks
+
+    def _build_resident_call(self):
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from blt_tpu.parallel.mesh import DATA_AXIS
+
+        enc = self._single
+        rpb = enc.rows_per_block
+        interpret = enc.interpret
+        capacity = self.capacity
+
+        def per_shard(ns, bufs, hp, k1, v1, k2, v2):
+            # local shapes: ns (1,), bufs (1, total); each device runs its
+            # own repeat-until-done loop (no collectives inside, so
+            # divergent trip counts across devices are fine)
+            toks, m = _multipass_resident_call(
+                bufs[0], ns[0], hp, k1, v1, k2, v2,
+                capacity=capacity, interpret=interpret, rows_per_block=rpb,
+            )
+            return toks[None], m[None]
+
+        row = P(DATA_AXIS)
+        row2 = P(DATA_AXIS, None)
+        rep = P()
+        kwargs = dict(
+            mesh=self.mesh,
+            in_specs=(row, row2, rep, rep, rep, rep, rep),
+            out_specs=(row2, row),
+        )
+        try:
+            mapped = shard_map(per_shard, check_vma=False, **kwargs)
+        except TypeError:  # older jax spells it check_rep
+            mapped = shard_map(per_shard, check_rep=False, **kwargs)
+        return jax.jit(mapped)
+
+    def encode_batch_resident(self, chunks: list) -> list:
+        """Full multipass of up to n_rows chunks, one device-resident
+        repeat-until-done loop per device (no per-round host compaction:
+        one H2D + one D2H for the whole batch)."""
+        enc = self._single
+        b = self.n_rows
+        assert len(chunks) <= b, (len(chunks), b)
+        num_blocks = self.capacity // enc.block
+        padded_rows = num_blocks * enc.rows_per_block + 8
+        batch = np.zeros((b, padded_rows * LANES), np.int32)
+        ns = np.zeros((b,), np.int32)
+        for r, c in enumerate(chunks):
+            assert c.shape[0] <= self.capacity
+            batch[r, : c.shape[0]] = c
+            ns[r] = c.shape[0]
+        if self._resident_call is None:
+            self._resident_call = self._build_resident_call()
+        hp = jnp.asarray([enc.a1, enc.a2, enc.shift], jnp.int32)
+        toks_d, m_d = self._resident_call(
+            jnp.asarray(ns), jnp.asarray(batch), hp,
+            enc.k1, enc.v1, enc.k2, enc.v2,
+        )
+        toks_h = np.asarray(toks_d)
+        m_h = np.asarray(m_d)
+        out = []
+        for r in range(len(chunks)):
+            # a 0/1-token chunk never enters the loop body; its prefix is
+            # the input itself
+            k = int(m_h[r]) if ns[r] > 1 else int(ns[r])
+            out.append(toks_h[r, :k])
+        return out
 
 
 def _basic_chained_kernel(tok_ref, data_ref, out_ref, done_ref):

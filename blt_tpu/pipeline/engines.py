@@ -604,7 +604,9 @@ class ShardedJaxEngine(JaxEngine):
         def flush():
             if not group:
                 return
-            for toks in enc.encode_batch(group):
+            # one device-resident repeat-until-done loop per device: no
+            # per-round host compaction round trips
+            for toks in enc.encode_batch_resident(group):
                 yield toks.astype(">u2")
             group.clear()
 

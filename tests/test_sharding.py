@@ -384,3 +384,32 @@ class TestShardedTokenEncoder:
         table = MergeTable.build({(97, 98): 256, (256, 99): 257})
         list(engine.bpe_stream(iter([np.zeros(4, np.uint8)]), table, 1024))
         assert called.get("pallas")
+
+
+def test_sharded_resident_encode_batch_matches_oracle():
+    """Per-device device-resident multipass loops (shard_map around
+    lax.while_loop; divergent trip counts across devices) must equal
+    the oracle and the host-compaction batch encoder."""
+    from blt_tpu.merges import MergeTable
+    from blt_tpu.ops.bpe_oracle import bpe_encode_oracle
+    from blt_tpu.ops.bpe_pallas import ShardedTokenEncoder
+    from blt_tpu.parallel.mesh import make_mesh
+
+    merges = {(97, 98): 256, (256, 99): 257, (257, 257): 258}
+    table = MergeTable.build(merges)
+    mesh = make_mesh()
+    rng = np.random.default_rng(23)
+    # heterogeneous pass counts per device: all-'a'-style runs vs noise
+    chunks = [
+        rng.choice(np.frombuffer(b"abcabcde", np.uint8), size=s)
+        for s in (2048, 1, 0, 700, 4096, 33, 999, 2)
+    ][: len(jax.devices())]
+    enc = ShardedTokenEncoder(
+        table, mesh, interpret=True, capacity_tokens=4096, rows_per_block=8
+    )
+    got = enc.encode_batch_resident(chunks)
+    ref = enc.encode_batch(chunks)
+    for chunk, toks, toks2 in zip(chunks, got, ref):
+        expected = list(bpe_encode_oracle(chunk.tobytes(), merges))
+        assert toks.tolist() == expected, chunk.shape
+        assert toks2.tolist() == expected, chunk.shape
