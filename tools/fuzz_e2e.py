@@ -142,6 +142,25 @@ def one_trial(rng: np.random.Generator, trial: int, max_bytes: int) -> None:
                     f"({len(got)} vs {len(want)} bytes)"
                 )
 
+    # device-resident multipass in interpreter mode (same blind-spot
+    # closure for the token-pass kernel + while_loop + sort compaction:
+    # the CPU engines route hierarchical tables through XLA, so this
+    # device path is otherwise never fuzzed). Bounded for speed.
+    if merges and 0 < len(data) <= 4096:
+        from blt_tpu.ops.bpe_pallas import PallasTokenEncoder
+
+        if PallasTokenEncoder.supports(table):
+            enc = PallasTokenEncoder(table, interpret=True)
+            arr = np.frombuffer(data, np.uint8)
+            got_t = enc.encode_resident(arr).tolist()
+            # per-chunk = whole-input here (single chunk)
+            want_t = list(bpe_encode_oracle(data, merges))
+            assert got_t == want_t, (
+                f"trial {trial}: interpret-mode resident multipass "
+                f"mismatch ({len(got_t)} vs {len(want_t)} tokens, "
+                f"rules={len(merges)} flat={flat})"
+            )
+
     # decode roundtrip: every invertible fuzzed table must satisfy
     # decode(encode(x)) == x through the real pipeline (ops/decode.py).
     # Fuzzed values are unique and >= 256, so invertibility only depends
