@@ -57,6 +57,13 @@ MAX_SLOTS = 8192  # cuckoo sizing cap (adaptive: merges.MergeTable.cuckoo_slots)
 _NEG = -(2**31) + 1
 
 
+def _padded_rows(capacity: int, block: int, rows_per_block: int) -> int:
+    """Rows of a kernel buffer for ``capacity`` elements incl. the 8 halo
+    rows (must match _token_pass_call/_flat_encode_pallas_call's
+    ``data3.shape[0] - 8`` and their halo BlockSpecs)."""
+    return (capacity // block) * rows_per_block + 8
+
+
 def _tree_lookup(e_ref, h):
     """Gather int32 entries for slot indices h (R,128) from a (segs,128) table.
 
@@ -448,8 +455,7 @@ class PallasFlatEncoder:
     def padded_bytes(self) -> int:
         """Host-buffer size for upload() (capacity + halo rows)."""
         assert self.capacity, "padded_bytes requires a fixed capacity"
-        num_blocks = self.capacity // self.block
-        return (num_blocks * self.rows_per_block + 8) * LANES
+        return _padded_rows(self.capacity, self.block, self.rows_per_block) * LANES
 
     def upload(self, data: np.ndarray, buf: np.ndarray, threads: int = 0):
         """Pack ``data`` into the reusable padded host buffer and upload.
@@ -845,8 +851,7 @@ class PallasTokenEncoder:
             else -(-max(n, 1) // self.block) * self.block
         )
         assert n <= capacity, f"batch {n} exceeds encoder capacity {capacity}"
-        num_blocks = capacity // self.block
-        padded_rows = num_blocks * self.rows_per_block + 8
+        padded_rows = _padded_rows(capacity, self.block, self.rows_per_block)
         buf = np.zeros((padded_rows * LANES,), np.int32)
         buf[:n] = tokens
         params = jnp.asarray(
@@ -894,8 +899,7 @@ class PallasTokenEncoder:
         n = data.shape[0]
         capacity = self._capacity_for(n)
         assert n <= capacity, f"batch {n} exceeds encoder capacity {capacity}"
-        num_blocks = capacity // self.block
-        padded_rows = num_blocks * self.rows_per_block + 8
+        padded_rows = _padded_rows(capacity, self.block, self.rows_per_block)
         buf = np.zeros((padded_rows * LANES,), np.int32)
         buf[:n] = data
         return _multipass_resident_call(
@@ -954,11 +958,23 @@ class ShardedTokenEncoder:
     def supports(table: MergeTable) -> bool:
         return PallasTokenEncoder.supports(table)
 
-    def _build_call(self):
+    def _shard_mapped(self, per_shard, in_specs, out_specs):
+        """shard_map + jit with the jax-version compat shims in one place."""
         try:
             from jax import shard_map
         except ImportError:  # older jax
             from jax.experimental.shard_map import shard_map
+
+        kwargs = dict(
+            mesh=self.mesh, in_specs=in_specs, out_specs=out_specs
+        )
+        try:
+            mapped = shard_map(per_shard, check_vma=False, **kwargs)
+        except TypeError:  # older jax spells it check_rep
+            mapped = shard_map(per_shard, check_rep=False, **kwargs)
+        return jax.jit(mapped)
+
+    def _build_call(self):
         from jax.sharding import PartitionSpec as P
 
         from blt_tpu.parallel.mesh import DATA_AXIS
@@ -983,24 +999,16 @@ class ShardedTokenEncoder:
         row = P(DATA_AXIS, None)
         row3 = P(DATA_AXIS, None, None)
         rep = P()
-        kwargs = dict(
-            mesh=self.mesh,
-            in_specs=(row, row3, rep, rep, rep, rep),
-            out_specs=row3,
+        return self._shard_mapped(
+            per_shard, (row, row3, rep, rep, rep, rep), row3
         )
-        try:
-            mapped = shard_map(per_shard, check_vma=False, **kwargs)
-        except TypeError:  # older jax spells it check_rep
-            mapped = shard_map(per_shard, check_rep=False, **kwargs)
-        return jax.jit(mapped)
 
     def encode_pass_batch(self, rows: list) -> list:
         """One merge round over up to n_rows token arrays (int32), each on
         its own device; returns per-row arrays with -1 tombstones."""
         enc = self._single
         b = self.n_rows
-        num_blocks = self.capacity // enc.block
-        padded_rows = num_blocks * enc.rows_per_block + 8
+        padded_rows = _padded_rows(self.capacity, enc.block, enc.rows_per_block)
         batch = np.zeros((b, padded_rows * LANES), np.int32)
         params = np.zeros((b, 8), np.int32)
         for r, toks in enumerate(rows):
@@ -1038,10 +1046,6 @@ class ShardedTokenEncoder:
         return toks
 
     def _build_resident_call(self):
-        try:
-            from jax import shard_map
-        except ImportError:  # older jax
-            from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
         from blt_tpu.parallel.mesh import DATA_AXIS
@@ -1064,16 +1068,9 @@ class ShardedTokenEncoder:
         row = P(DATA_AXIS)
         row2 = P(DATA_AXIS, None)
         rep = P()
-        kwargs = dict(
-            mesh=self.mesh,
-            in_specs=(row, row2, rep, rep, rep, rep, rep),
-            out_specs=(row2, row),
+        return self._shard_mapped(
+            per_shard, (row, row2, rep, rep, rep, rep, rep), (row2, row)
         )
-        try:
-            mapped = shard_map(per_shard, check_vma=False, **kwargs)
-        except TypeError:  # older jax spells it check_rep
-            mapped = shard_map(per_shard, check_rep=False, **kwargs)
-        return jax.jit(mapped)
 
     def encode_batch_resident(self, chunks: list) -> list:
         """Full multipass of up to n_rows chunks, one device-resident
@@ -1082,8 +1079,7 @@ class ShardedTokenEncoder:
         enc = self._single
         b = self.n_rows
         assert len(chunks) <= b, (len(chunks), b)
-        num_blocks = self.capacity // enc.block
-        padded_rows = num_blocks * enc.rows_per_block + 8
+        padded_rows = _padded_rows(self.capacity, enc.block, enc.rows_per_block)
         batch = np.zeros((b, padded_rows * LANES), np.int32)
         ns = np.zeros((b,), np.int32)
         for r, c in enumerate(chunks):
@@ -1092,20 +1088,25 @@ class ShardedTokenEncoder:
             ns[r] = c.shape[0]
         if self._resident_call is None:
             self._resident_call = self._build_resident_call()
+        from blt_tpu.parallel.mesh import row_sharding, vec_sharding
+
         hp = jnp.asarray([enc.a1, enc.a2, enc.shift], jnp.int32)
+        # direct per-device H2D: a plain asarray would land the whole
+        # batch on device 0 and reshard over ICI
         toks_d, m_d = self._resident_call(
-            jnp.asarray(ns), jnp.asarray(batch), hp,
-            enc.k1, enc.v1, enc.k2, enc.v2,
+            jax.device_put(ns, vec_sharding(self.mesh)),
+            jax.device_put(batch, row_sharding(self.mesh)),
+            hp, enc.k1, enc.v1, enc.k2, enc.v2,
         )
         toks_h = np.asarray(toks_d)
         m_h = np.asarray(m_d)
-        out = []
-        for r in range(len(chunks)):
-            # a 0/1-token chunk never enters the loop body; its prefix is
-            # the input itself
-            k = int(m_h[r]) if ns[r] > 1 else int(ns[r])
-            out.append(toks_h[r, :k])
-        return out
+        # the loop runs once even for 0/1-token rows, where the pass is an
+        # identity (no pair has gidx < length-1), so m_h[r] == ns[r] there;
+        # copies, not views — a view would pin the whole (b, capacity) host
+        # buffer for the lifetime of a few short token arrays
+        return [
+            toks_h[r, : int(m_h[r])].copy() for r in range(len(chunks))
+        ]
 
 
 def _basic_chained_kernel(tok_ref, data_ref, out_ref, done_ref):
