@@ -566,6 +566,34 @@ def filter_slots(slots: np.ndarray, prev_token: int) -> Tuple[np.ndarray, int]:
     return toks, int(slots[-1])
 
 
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def compact_slots_device(
+    slots: jnp.ndarray,  # (rows, 128) uint16 byteswapped slots
+    n: jnp.ndarray,  # int32: valid slot count
+    prev_slot: jnp.ndarray,  # int32: last RAW slot of the previous batch
+    capacity: int,
+):
+    """Drop-after-merge drain + stable compaction ON DEVICE.
+
+    The device-side twin of ``filter_slots``: keeps slot i iff the
+    predecessor slot's low (swapped) byte is 0 (i.e. the predecessor is
+    not a merged token), then stably partitions survivors to the front.
+    Lets the pipeline transfer only ~the real output bytes instead of the
+    full 2x-input slot array plus a host filter pass — the winning trade
+    when the host link is slow (engines._device_compact_enabled probe).
+    Returns (compacted uint16[capacity], m, last_raw_slot int32).
+    """
+    s = slots.reshape(-1)[:capacity].astype(jnp.int32)
+    iota = jnp.arange(capacity, dtype=jnp.int32)
+    prev = jnp.concatenate([prev_slot.reshape(1), s[:-1]])
+    alive = ((prev & 0xFF) == 0) & (iota < n)
+    m = jnp.sum(alive.astype(jnp.int32))
+    keys = jnp.where(alive, iota, capacity + iota)
+    _, comp = jax.lax.sort_key_val(keys, s)
+    last = jnp.where(n > 0, s[jnp.maximum(n - 1, 0)], prev_slot)
+    return comp.astype(jnp.uint16), m, last
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "interpret", "direct", "rows_per_block")
 )

@@ -402,3 +402,51 @@ def test_jax_engine_multipass_routes_resident(monkeypatch):
     )
     assert out == exp
     assert calls["n"] == 2
+
+
+def test_compact_slots_device_matches_host_filter():
+    """Device-side drop-after-merge + stable compaction == filter_slots,
+    including the cross-batch prev-slot carry and all-zero/merged runs."""
+    import jax.numpy as jnp
+
+    from blt_tpu.ops.bpe_pallas import compact_slots_device, filter_slots
+
+    rng = np.random.default_rng(29)
+    capacity = 4096
+    # byteswapped-u16 slot streams: byte tokens (low byte 0), merged
+    # tokens (low byte != 0), and consumed slots (0)
+    for trial in range(6):
+        batches = []
+        for _ in range(3):
+            n = int(rng.integers(1, capacity + 1))
+            kind = rng.integers(0, 3, n)
+            vals = np.where(
+                kind == 0,
+                rng.integers(0, 256, n) << 8,      # byte tokens
+                np.where(kind == 1,
+                         rng.integers(256, 65536, n),  # merged-ish values
+                         0),                            # consumed slots
+            ).astype(np.uint16)
+            batches.append(vals)
+
+        # host reference: filter_slots threading prev_tok
+        prev_tok = 0
+        expected = []
+        for b in batches:
+            toks, prev_tok = filter_slots(b, prev_tok)
+            expected.append(toks.copy())
+
+        # device path threading the prev_slot scalar
+        prev_slot = jnp.int32(0)
+        got = []
+        for b in batches:
+            buf = np.zeros(capacity, np.uint16)
+            buf[: b.shape[0]] = b
+            comp, m, prev_slot = compact_slots_device(
+                jnp.asarray(buf.reshape(-1, 128)),
+                jnp.int32(b.shape[0]), prev_slot, capacity=capacity,
+            )
+            got.append(np.asarray(comp)[: int(m)])
+
+        for e, g in zip(expected, got):
+            assert e.tolist() == g.tolist(), trial
