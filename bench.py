@@ -155,9 +155,7 @@ def main() -> None:
         buf[:N] = h
         return jax.device_put(buf.reshape(padded_rows, LANES))
 
-    params = jnp.asarray(
-        np.array([N, 0, -1, enc.a1, enc.a2, 0, enc.shift, 0], dtype=np.int32)
-    )
+    params = enc.params(N)
     log("uploading bpe buffer...")
     d3 = to_d3(host)
     zero_carry = jax.device_put(np.zeros((1, 1), np.int32))
@@ -171,7 +169,7 @@ def main() -> None:
             enc.e1,
             enc.e2,
             k=K_BPE,
-            direct=enc.direct,
+            mode=enc.mode,
             rows_per_block=enc.rows_per_block,
         )
 
@@ -260,18 +258,13 @@ def main() -> None:
         bufd = np.zeros((padded_rows * LANES,), np.uint8)
         bufd[:nd] = host[:nd]
         d3d = jax.device_put(bufd.reshape(padded_rows, LANES))
-        paramsd = jnp.asarray(
-            np.array(
-                [nd, 0, -1, enc_dense.a1, enc_dense.a2, 0, enc_dense.shift, 0],
-                np.int32,
-            )
-        )
+        paramsd = enc_dense.params(nd)
         zcd = jax.device_put(np.zeros((1, 1), np.int32))
 
         def run_dense():
             return flat_encode_chained(
                 paramsd, enc_dense.segs, zcd, d3d, enc_dense.e1, enc_dense.e2,
-                k=K_BPE, direct=True, rows_per_block=enc_dense.rows_per_block,
+                k=K_BPE, mode="direct", rows_per_block=enc_dense.rows_per_block,
             )
 
         _, cd = run_dense()

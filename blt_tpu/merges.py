@@ -268,6 +268,125 @@ class MergeTable:
                 return k1, v1, k2_, v2_, a1, a2
         return None
 
+    def build_chd(self, max_slots: int = 8192):
+        """Memoizing wrapper over the CHD placement below."""
+        memo = self.__dict__.setdefault("_chd_memo", {})
+        if max_slots not in memo:
+            memo[max_slots] = self._build_chd_impl(max_slots)
+        return memo[max_slots]
+
+    def _build_chd_impl(
+        self,
+        max_slots: int = 8192,
+        seed_tries: int = 6,
+        perfect_tries: int = 64,
+    ):
+        """CHD (compress-hash-displace) perfect placement of byte-pair rules.
+
+        One hash table with NO probe alternatives: bucket hash g(p) picks a
+        displacement d from a B-entry array, and slot
+        ``h(p) = (((p*A2) >> shift) + d) & (slots-1)`` is collision-free by
+        construction, so the kernel does a single gather chain plus (for
+        B > 0) a short displacement gather — (slots + B)/128 chain steps
+        total vs the cuckoo's 2*slots/128, at ~0.98 load instead of <=0.5.
+        B = 0 means a plain injective multiply-shift hash was found (tiny
+        tables): no displacement array at all, one chain.
+
+        Candidate (slots, B) pairs are tried in increasing total-segment
+        order, so the first success is the cheapest lookup this placement
+        family can give. Hashes use the same int32 wrap-around arithmetic
+        as the device kernel (see _build_cuckoo_impl).
+
+        Returns (entries int32[slots] packing key<<16|value, disp
+        int32[B] | None when B == 0, A1, A2, has_ffff) or None when no
+        candidate places (caller falls back to cuckoo / packed-dense).
+        """
+        assert self.flat, "CHD tables are built for flat byte-pair rules"
+        rules = [(a * 256 + b, v) for (a, b), v in self.merges.items()]
+        has_ffff = any(k == 0xFFFF and v == 0xFFFF for k, v in rules)
+        rules = [(k, v) for k, v in rules if not (k == 0xFFFF and v == 0xFFFF)]
+        n = len(rules)
+        if n > max_slots:
+            return None
+        s0 = 128
+        while s0 < n:
+            s0 *= 2
+        cands = []
+        s = s0
+        while s <= max_slots:
+            cands.append((s, 0))
+            b = 128
+            while b <= s:
+                cands.append((s, b))
+                b *= 2
+            s *= 2
+        cands.sort(key=lambda sb: sb[0] + sb[1])
+        rng = np.random.default_rng(0xC4D)
+        for slots, B in cands:
+            tries = perfect_tries if B == 0 else seed_tries
+            r = self._chd_place(rules, slots, B, rng, tries)
+            if r is not None:
+                entries, disp, a1, a2 = r
+                return entries, disp, a1, a2, has_ffff
+        return None
+
+    @staticmethod
+    def _chd_place(rules, slots: int, B: int, rng, tries: int):
+        """One (slots, B) placement attempt over ``tries`` hash seeds."""
+
+        def wrap32(x: int) -> int:
+            x &= 0xFFFFFFFF
+            return x - (1 << 32) if x >= 1 << 31 else x
+
+        mask = slots - 1
+        shift = 32 - (slots.bit_length() - 1)
+        bshift = 32 - (B.bit_length() - 1) if B else 0
+        keys = [k for k, _ in rules]
+        for _ in range(tries):
+            a1 = int(rng.integers(1, 2**31)) | 1
+            a2 = int(rng.integers(1, 2**31)) | 1
+            base = {k: wrap32(k * a2) >> shift for k in keys}
+            if B == 0:
+                # plain injective hash, no displacement
+                pos = {k: h & mask for k, h in base.items()}
+                if len(set(pos.values())) != len(keys):
+                    continue
+                entries = np.full(slots, -1, dtype=np.int32)
+                for k, v in rules:
+                    entries[pos[k]] = np.int32((np.int64(k) << 16) | v)
+                return entries, None, 1, a2
+            buckets: dict = {}
+            for k in keys:
+                g = (wrap32(k * a1) >> bshift) & (B - 1)
+                buckets.setdefault(g, []).append(k)
+            occupied = np.zeros(slots, dtype=bool)
+            disp = np.zeros(B, dtype=np.int32)
+            placement: dict = {}
+            ok = True
+            ds = np.arange(slots, dtype=np.int64)
+            for g, bk in sorted(buckets.items(), key=lambda kv: -len(kv[1])):
+                hs = np.array([base[k] for k in bk], dtype=np.int64)
+                if len(set((int(h) & mask) for h in hs)) != len(bk):
+                    ok = False  # intra-bucket base collision: no d separates
+                    break
+                # all displacements at once: d valid iff every (h+d)&mask free
+                pos_all = (hs[:, None] + ds[None, :]) & mask
+                valid = ~occupied[pos_all].any(axis=0)
+                d_idx = int(np.argmax(valid))
+                if not valid[d_idx]:
+                    ok = False
+                    break
+                disp[g] = d_idx
+                for k, q in zip(bk, (hs + d_idx) & mask):
+                    occupied[q] = True
+                    placement[k] = int(q)
+            if ok:
+                entries = np.full(slots, -1, dtype=np.int32)
+                for k, v in rules:
+                    entries[placement[k]] = np.int32((np.int64(k) << 16) | v)
+                return entries, disp, a1, a2
+        return None
+
     def build_cuckoo(self, slots: int = 2048, max_seed_tries: int = 64):
         """Memoizing wrapper (per slot count) over the placement below."""
         if max_seed_tries == 64:

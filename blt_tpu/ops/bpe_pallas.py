@@ -5,13 +5,18 @@ TPU-native design notes (why this shape):
 - XLA lowers >128-entry table gathers and irregular scatters to scalar code
   (~10M elem/s measured on v5e) — 100x off memory bandwidth. The only
   vectorized lookup primitive is ``tpu.dynamic_gather`` with a table that
-  fits one vreg along the gather dimension (128 lanes). So the merge-rule
-  lookup is restructured as a 2-table cuckoo hash with an adaptive slot
-  count (blt_tpu.merges.MergeTable.build_cuckoo/cuckoo_slots): each probe
-  is a per-128-segment chain of dynamic_gathers + selects, entirely on the
-  VPU. Entries pack ``key<<16 | value`` into one int32 so a probe is a
-  single gather; a hit check compares the key half against the queried
-  pair.
+  fits one vreg along the gather dimension (128 lanes), so every lookup is
+  a per-128-segment chain of dynamic_gathers + selects on the VPU and the
+  chain length IS the rate. The primary lookup is a CHD perfect hash
+  (merges.MergeTable.build_chd): one displacement gather + ONE entry chain
+  at ~0.98 load — (slots+B)/128 total segments vs the 2-table cuckoo's
+  2*slots/128 at <=0.5 load (the cuckoo stays as a fallback when CHD
+  placement fails or costs more; measured on v5e, 500 rules: CHD 6 segs
+  17.0 GB/s vs cuckoo 8 segs 13.8 GB/s). Entries pack ``key<<16 | value``
+  into one int32 so a probe is a single gather; a hit check compares the
+  key half against the queried pair. Table values are stored
+  pre-byteswapped so the emit path never swaps (a byte's wire form is
+  just ``d << 8``).
 
 - The reference's sequential in-buffer merge scan
   (reference: blt_core/src/tokenizer.rs:61-86) becomes the parity-scan
@@ -179,28 +184,34 @@ def _scan_max_linear(z, lane_iota):
     return jnp.maximum(s, jnp.broadcast_to(excl, s.shape))
 
 
-def _make_kernel(direct: bool):
+def _make_kernel(mode: str):
     """Build the kernel body for one lookup mode.
 
-    direct=False: 2-probe cuckoo hash (few gathers, rules <= ~8K).
-    direct=True: packed dense 64K-value table (256-segment gather chain,
-    any rule count; e1_ref holds the packed table, e2_ref is unused).
+    "chd": CHD perfect hash — one displacement gather (e2_ref) + one
+      entry gather chain (e1_ref); fewest chain steps (merges.build_chd).
+    "perfect": CHD degenerate case, injective multiply-shift hash with no
+      displacement array (tiny tables; e2_ref is a dummy).
+    "cuckoo": 2-probe cuckoo hash over e1_ref/e2_ref (fallback when CHD
+      placement fails or needs more total segments).
+    "direct": packed dense 64K-value table (256-segment gather chain, any
+      rule count; e1_ref holds the packed table, e2_ref is unused).
     """
+    assert mode in ("chd", "perfect", "cuckoo", "direct"), mode
 
     def kernel(
-        params_ref,  # SMEM int32[8]: length, _, next_byte, a1, a2, ffff, shift
+        params_ref,  # SMEM int32[8]: length, bshift, next_byte, a1, a2, ffff, shift
         segs_ref,  # SMEM int32[S]: occupied segment ids (packed-dense mode)
         carry_in_ref,  # SMEM (1,1) int32: cross-call carry (prior carry_out)
         data_ref,  # (R,128) uint8 block
         halo_ref,  # (8,128) uint8: first rows of the next block
-        e1_ref,  # (S,128) int32 cuckoo table 1 / compacted packed table
-        e2_ref,  # (segs,128) int32 cuckoo table 2 / dummy
+        e1_ref,  # (S,128) int32 cuckoo t1 / CHD entries / packed table
+        e2_ref,  # (segs,128) int32 cuckoo t2 / CHD displacements / dummy
         out_ref,  # (R,128) uint16 byteswapped token slots
         carry_out_ref,  # SMEM (1,1) int32
         carry_ref,  # SMEM scratch (1,) int32: inter-block carry
     ):
         return _kernel_body(
-            direct, params_ref, segs_ref, carry_in_ref, data_ref, halo_ref,
+            mode, params_ref, segs_ref, carry_in_ref, data_ref, halo_ref,
             e1_ref, e2_ref, out_ref, carry_out_ref, carry_ref,
         )
 
@@ -208,7 +219,7 @@ def _make_kernel(direct: bool):
 
 
 def _kernel_body(
-    direct,
+    mode,
     params_ref,
     segs_ref,
     carry_in_ref,
@@ -246,14 +257,18 @@ def _kernel_body(
     nxt = jnp.where(gidx == length - 1, jnp.maximum(next_byte, 0), nxt)
 
     p = d * 256 + nxt
-    if direct:
+    # Every table ships its 16-bit values PRE-byteswapped (encoder __init__),
+    # so `val` below is already in wire byte order and the emit path never
+    # swaps: a plain byte's wire form is just d << 8.
+    if mode == "direct":
         # packed dense table: word p>>1 holds values for pairs 2k, 2k+1
-        # (0 = no rule; legal sentinel since supported values are >= 256);
-        # only occupied segments are shipped and chained (segs_ref ids)
+        # (0 = no rule; legal sentinel since supported values are >= 256
+        # and byteswapping preserves nonzero-ness); only occupied segments
+        # are shipped and chained (segs_ref ids)
         w = _tree_lookup_sparse(e1_ref, segs_ref, p >> 1)
         val = jnp.where((p & 1) == 1, (w >> 16) & 0xFFFF, w & 0xFFFF)
         m = val != 0
-    else:
+    elif mode == "cuckoo":
         # cuckoo probes (int32 wrap-around multiply matches the host builder)
         h1 = ((p * a1) >> shift) & slots_mask
         h2 = ((p * a2) >> shift) & slots_mask
@@ -270,6 +285,25 @@ def _kernel_body(
         val = jnp.where(hit1, e1 & 0xFFFF, e2 & 0xFFFF)
         m = hit1 | hit2
         # the one entry whose packed form collides with the empty sentinel
+        # (byteswap keeps 0xFFFF fixed, so the patched value needs no swap)
+        is_ffff = (p == 0xFFFF) & (ffff != 0)
+        m = m | is_ffff
+        val = jnp.where(is_ffff, 0xFFFF, val)
+    else:
+        # CHD perfect hash: slot (base + displacement) & mask is
+        # collision-free by construction, so ONE entry gather chain plus
+        # (chd only) a short displacement gather; the key compare rejects
+        # the 64K-space pairs that alias onto occupied slots
+        bshift = params_ref[1]
+        h = (p * a2) >> shift
+        if mode == "chd":
+            bmask = e2_ref.shape[0] * LANES - 1
+            g = ((p * a1) >> bshift) & bmask
+            h = h + _tree_lookup(e2_ref, g)
+        h = h & slots_mask
+        e = _tree_lookup(e1_ref, h)
+        m = (((e >> 16) & 0xFFFF) == p) & (e != -1)
+        val = e & 0xFFFF
         is_ffff = (p == 0xFFFF) & (ffff != 0)
         m = m | is_ffff
         val = jnp.where(is_ffff, 0xFFFF, val)
@@ -288,11 +322,13 @@ def _kernel_body(
     starts_i = starts.astype(jnp.int32)
     consumed = _shift_right_linear(starts_i, carry_in, lane_iota) != 0
 
-    tok = jnp.where(starts, val, d)
-    tok = jnp.where(consumed, 0, tok)
     # emit byteswapped u16: the LE memory image is the u16-BE wire stream,
-    # and the drop-after-merge drain tests (slot & 0xFF) != 0
-    out_ref[:] = (((tok & 0xFF) << 8) | ((tok >> 8) & 0xFF)).astype(jnp.uint16)
+    # and the drop-after-merge drain tests (slot & 0xFF) != 0. Table values
+    # are pre-swapped (encoder __init__) and a byte's swapped form is d<<8,
+    # so no elementwise swap runs here.
+    tok = jnp.where(starts, val, d << 8)
+    tok = jnp.where(consumed, 0, tok)
+    out_ref[:] = tok.astype(jnp.uint16)
 
     # carry to the next block / call: did a merge start on the final valid
     # byte of this block? Blocks entirely past length-1 (fixed-capacity
@@ -305,7 +341,7 @@ def _kernel_body(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "direct", "rows_per_block")
+    jax.jit, static_argnames=("interpret", "mode", "rows_per_block")
 )
 def _flat_encode_pallas_call(
     params: jnp.ndarray,  # int32[8]
@@ -315,7 +351,7 @@ def _flat_encode_pallas_call(
     e1: jnp.ndarray,  # int32[S,128]
     e2: jnp.ndarray,  # int32[segs,128]
     interpret: bool = False,
-    direct: bool = False,
+    mode: str = "cuckoo",
     rows_per_block: int = ROWS_PER_BLOCK,
 ):
     rpb = rows_per_block
@@ -323,7 +359,7 @@ def _flat_encode_pallas_call(
     num_blocks = total_rows // rpb
     grid = (num_blocks,)
     out, carry = pl.pallas_call(
-        _make_kernel(direct),
+        _make_kernel(mode),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
@@ -395,19 +431,62 @@ class PallasFlatEncoder:
                 "Pallas encoder requires all merge values >= 256 "
                 "(drop-after-merge drain rule)"
             )
+        def swap_vals(e: np.ndarray) -> np.ndarray:
+            # byteswap the packed low-16 value half in place; empty (-1)
+            # entries map to themselves (0xFFFF is swap-symmetric)
+            e64 = e.astype(np.int64)
+            lo = ((e64 & 0xFF) << 8) | ((e64 >> 8) & 0xFF)
+            return (((e64 >> 16) << 16) | lo).astype(np.int32)
+
+        built_chd = None
         built = None
         if len(table.merges) <= MAX_SLOTS:
-            slots = table.cuckoo_slots(max_slots=MAX_SLOTS)
-            built = table.build_cuckoo(slots)
-            if built is None and slots < MAX_SLOTS:
-                built = table.build_cuckoo(MAX_SLOTS)
-                slots = MAX_SLOTS
-        if built is not None:
-            e1, e2, a1, a2, has_ffff = built
-            self.direct = False
+            built_chd = table.build_chd(MAX_SLOTS)
+            # cuckoo is worth building only if it could need fewer total
+            # gather segments than the CHD placement that was found
+            ck_slots = table.cuckoo_slots(max_slots=MAX_SLOTS)
+            chd_segs = (
+                (built_chd[0].size + (built_chd[1].size if built_chd[1] is not None else 0))
+                // LANES
+                if built_chd is not None
+                else None
+            )
+            if chd_segs is None or 2 * ck_slots // LANES < chd_segs:
+                built = table.build_cuckoo(ck_slots)
+                if built is None and ck_slots < MAX_SLOTS:
+                    built = table.build_cuckoo(MAX_SLOTS)
+                    ck_slots = MAX_SLOTS
+                if built is not None and chd_segs is not None:
+                    if 2 * ck_slots // LANES >= chd_segs:
+                        built = None  # CHD still cheaper after fallback
+        if built_chd is not None and built is None:
+            entries, disp, a1, a2, has_ffff = built_chd
+            slots = entries.size
+            self.mode = "perfect" if disp is None else "chd"
             self.shift = 32 - (slots.bit_length() - 1)
-            self.e1 = jnp.asarray(e1.reshape(slots // LANES, LANES))
-            self.e2 = jnp.asarray(e2.reshape(slots // LANES, LANES))
+            self.bshift = (
+                32 - (disp.size.bit_length() - 1) if disp is not None else 0
+            )
+            self.e1 = jnp.asarray(
+                swap_vals(entries).reshape(slots // LANES, LANES)
+            )
+            self.e2 = jnp.asarray(
+                disp.reshape(disp.size // LANES, LANES)
+                if disp is not None
+                else np.zeros((1, LANES), np.int32)
+            )
+            self.a1 = a1
+            self.a2 = a2
+            self.has_ffff = has_ffff
+            self.segs = jnp.asarray(np.zeros(8, np.int32))  # unused
+        elif built is not None:
+            e1, e2, a1, a2, has_ffff = built
+            slots = ck_slots
+            self.mode = "cuckoo"
+            self.shift = 32 - (slots.bit_length() - 1)
+            self.bshift = 0
+            self.e1 = jnp.asarray(swap_vals(e1).reshape(slots // LANES, LANES))
+            self.e2 = jnp.asarray(swap_vals(e2).reshape(slots // LANES, LANES))
             self.a1 = a1
             self.a2 = a2
             self.has_ffff = has_ffff
@@ -417,7 +496,13 @@ class PallasFlatEncoder:
             # through an occupancy-compressed gather chain — segment k
             # holds exactly the pairs with first byte k, so only first
             # bytes that occur in some rule are shipped and chained.
-            packed = table.build_packed_dense().reshape(256, LANES)
+            packed = table.build_packed_dense()
+            # byteswap BOTH u16 value halves of each packed word (the kernel
+            # emits table values verbatim; see swap_vals above)
+            p64 = packed.astype(np.int64) & 0xFFFFFFFF
+            packed = (
+                ((p64 & 0x00FF00FF) << 8) | ((p64 >> 8) & 0x00FF00FF)
+            ).astype(np.uint32).view(np.int32).reshape(256, LANES)
             occupied = np.unique(
                 np.array([a for (a, _) in table.merges], np.int32)
             )
@@ -427,8 +512,9 @@ class PallasFlatEncoder:
             seg_ids[: occupied.shape[0]] = occupied
             compact = np.zeros((s_pad, LANES), np.int32)
             compact[: occupied.shape[0]] = packed[occupied]
-            self.direct = True
+            self.mode = "direct"
             self.shift = 0
+            self.bshift = 0
             self.e1 = jnp.asarray(compact)
             self.e2 = jnp.asarray(np.zeros((8, LANES), np.int32))
             self.a1 = 1
@@ -442,6 +528,11 @@ class PallasFlatEncoder:
             else 0
         )
 
+    @property
+    def direct(self) -> bool:
+        """True when the packed-dense direct-lookup kernel is in use."""
+        return self.mode == "direct"
+
     @staticmethod
     def supports(table: MergeTable) -> bool:
         if not table.flat:
@@ -449,7 +540,25 @@ class PallasFlatEncoder:
         values = list(table.merges.values())
         if values and min(values) < 256:
             return False
-        return True  # cuckoo for small tables, packed-dense direct beyond
+        return True  # CHD/cuckoo for small tables, packed-dense beyond
+
+    def params(self, n: int, next_byte: int = -1) -> jnp.ndarray:
+        """The kernel's SMEM parameter vector for a batch of ``n`` bytes."""
+        return jnp.asarray(
+            np.array(
+                [
+                    n,
+                    self.bshift,
+                    next_byte,
+                    self.a1,
+                    self.a2,
+                    1 if self.has_ffff else 0,
+                    self.shift,
+                    0,
+                ],
+                dtype=np.int32,
+            )
+        )
 
     @property
     def padded_bytes(self) -> int:
@@ -482,21 +591,7 @@ class PallasFlatEncoder:
         next_byte: int,
     ) -> Tuple[jnp.ndarray, int, jnp.ndarray]:
         """Kernel dispatch on an already-uploaded padded batch."""
-        params = jnp.asarray(
-            np.array(
-                [
-                    n,
-                    0,
-                    next_byte,
-                    self.a1,
-                    self.a2,
-                    1 if self.has_ffff else 0,
-                    self.shift,
-                    0,
-                ],
-                dtype=np.int32,
-            )
-        )
+        params = self.params(n, next_byte)
         if isinstance(carry_in, (bool, int, np.bool_, np.integer)):
             carry_in = jnp.asarray(
                 np.array([[1 if carry_in else 0]], dtype=np.int32)
@@ -509,7 +604,7 @@ class PallasFlatEncoder:
             self.e1,
             self.e2,
             interpret=self.interpret,
-            direct=self.direct,
+            mode=self.mode,
             rows_per_block=self.rows_per_block,
         )
         return out, n, carry
@@ -595,7 +690,7 @@ def compact_slots_device(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "interpret", "direct", "rows_per_block")
+    jax.jit, static_argnames=("k", "interpret", "mode", "rows_per_block")
 )
 def flat_encode_chained(
     params: jnp.ndarray,
@@ -606,7 +701,7 @@ def flat_encode_chained(
     e2: jnp.ndarray,
     k: int = 8,
     interpret: bool = False,
-    direct: bool = False,
+    mode: str = "cuckoo",
     rows_per_block: int = ROWS_PER_BLOCK,
 ):
     """Run the flat-BPE kernel k times back-to-back on the device.
@@ -628,7 +723,7 @@ def flat_encode_chained(
             e1,
             e2,
             interpret=interpret,
-            direct=direct,
+            mode=mode,
             rows_per_block=rows_per_block,
         )
         return c2, ()
@@ -642,7 +737,7 @@ def flat_encode_chained(
         e1,
         e2,
         interpret=interpret,
-        direct=direct,
+        mode=mode,
         rows_per_block=rows_per_block,
     )
 

@@ -178,13 +178,11 @@ def test_chained_dispatch_matches_single():
     padded_rows = BLOCK // LANES + 8
     buf = np.zeros((padded_rows * LANES,), np.uint8)
     buf[:BLOCK] = data
-    params = jnp.asarray(
-        np.array([BLOCK, 0, -1, enc.a1, enc.a2, 0, enc.shift, 0], np.int32)
-    )
+    params = enc.params(BLOCK)
     zc = jnp.asarray(np.zeros((1, 1), np.int32))
     slots2, c2 = flat_encode_chained(
         params, enc.segs, zc, buf.reshape(padded_rows, LANES), enc.e1, enc.e2,
-        k=3, interpret=True, direct=enc.direct,
+        k=3, interpret=True, mode=enc.mode,
         rows_per_block=enc.rows_per_block,
     )
     # identical input per iteration and zero boundary carry between full
@@ -450,3 +448,101 @@ def test_compact_slots_device_matches_host_filter():
 
         for e, g in zip(expected, got):
             assert e.tolist() == g.tolist(), trial
+
+
+# --- CHD perfect-hash lookup (merges.build_chd + kernel chd/perfect modes) ---
+
+
+def _random_table(n, seed=0):
+    rng = np.random.default_rng(seed)
+    keys = rng.permutation(65536)[:n]
+    return MergeTable.build(
+        {(int(k) // 256, int(k) % 256): 256 + i for i, k in enumerate(keys)}
+    )
+
+
+def test_chd_placement_is_perfect():
+    """Every rule key hashes to the slot that stores it (host replay of the
+    device arithmetic), at every size class the builder produces."""
+    for n in (1, 20, 50, 500, 2000):
+        t = _random_table(n, seed=n)
+        built = t.build_chd()
+        assert built is not None, n
+        entries, disp, a1, a2, has_ffff = built
+        slots = entries.size
+        mask = slots - 1
+        shift = 32 - (slots.bit_length() - 1)
+
+        def wrap32(x):
+            x &= 0xFFFFFFFF
+            return x - (1 << 32) if x >= 1 << 31 else x
+
+        for (a, b), v in t.merges.items():
+            p = a * 256 + b
+            h = wrap32(p * a2) >> shift
+            if disp is not None:
+                bshift = 32 - (disp.size.bit_length() - 1)
+                g = (wrap32(p * a1) >> bshift) & (disp.size - 1)
+                h = h + int(disp[g])
+            e = int(entries[h & mask])
+            assert ((e >> 16) & 0xFFFF) == p and (e & 0xFFFF) == v, (a, b)
+
+
+def test_chd_deterministic_and_memoized():
+    t = _random_table(500)
+    b1 = t.build_chd()
+    b2 = t.build_chd()
+    assert b1 is b2  # memoized
+    t2 = _random_table(500)
+    b3 = t2.build_chd()
+    assert np.array_equal(b1[0], b3[0])  # same table -> same placement
+
+
+def test_mode_selection_by_segments():
+    """The encoder picks the lookup with the fewest gather segments."""
+    assert PallasFlatEncoder(_random_table(4), interpret=True).mode == "perfect"
+    assert PallasFlatEncoder(_random_table(500), interpret=True).mode == "chd"
+    big = _random_table(20000)
+    assert PallasFlatEncoder(big, interpret=True).mode == "direct"
+
+
+@pytest.mark.parametrize("n", [1, 20, 50, 500, 2000])
+def test_chd_kernel_exact_vs_numpy(n):
+    t = _random_table(n, seed=n + 100)
+    enc = PallasFlatEncoder(t, interpret=True)
+    assert enc.mode in ("perfect", "chd")
+    rng = np.random.default_rng(n)
+    # bias toward rule bytes so merges actually fire
+    rule_bytes = np.array(
+        sorted({a for (a, _) in t.merges} | {b for (_, b) in t.merges}),
+        np.uint8,
+    )
+    data = np.where(
+        rng.random(30000) < 0.7,
+        rng.choice(rule_bytes, 30000),
+        rng.integers(0, 256, 30000),
+    ).astype(np.uint8)
+    assert run_encoder(enc, data) == bpe_encode_flat(data, t).tolist()
+
+
+def test_chd_ffff_rule_exact():
+    """(255,255)->0xFFFF packs to the empty sentinel; the elementwise
+    special case must cover it in the CHD modes too."""
+    t = MergeTable.build({(255, 255): 0xFFFF, (97, 98): 300})
+    enc = PallasFlatEncoder(t, interpret=True)
+    assert enc.mode in ("perfect", "chd") and enc.has_ffff
+    data = np.frombuffer(b"ab" + b"\xff" * 5 + b"ab\xff", np.uint8)
+    assert run_encoder(enc, data) == bpe_encode_flat(data, t).tolist()
+
+
+def test_chd_chained_pieces_carry():
+    """Cross-batch carries through the CHD kernel match one-shot encoding."""
+    t = MergeTable.build({(97, 97): 256, (98, 99): 257, (100, 100): 258})
+    enc = PallasFlatEncoder(t, interpret=True)
+    assert enc.mode == "perfect"
+    rng = np.random.default_rng(3)
+    data = rng.choice(np.frombuffer(b"aabbccdd", np.uint8), 9000).astype(np.uint8)
+    one = run_encoder(enc, data)
+    cuts = sorted(rng.integers(1, 9000, 3).tolist())
+    pieces = np.split(data, cuts)
+    assert run_encoder(enc, data, pieces) == one
