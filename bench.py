@@ -214,11 +214,18 @@ def main() -> None:
         # all three kernel paths (cuckoo / packed-dense / multipass) vs the
         # host reference with explicit carries ---
     
-        def full_check(name, tbl, batch_mb):
+        def full_check(name, tbl, batch_mb, force_mode=None, expect_mode=None):
             from blt_tpu.ops.bpe_numpy import bpe_encode_flat_carry
 
             nb_ = batch_mb * 1024 * 1024
-            encN = PallasFlatEncoder(tbl, capacity_bytes=nb_, rows_per_block=BPE_RPB)
+            encN = PallasFlatEncoder(
+                tbl,
+                capacity_bytes=nb_,
+                rows_per_block=BPE_RPB,
+                force_mode=force_mode,
+            )
+            if expect_mode is not None:
+                assert encN.mode == expect_mode, (encN.mode, expect_mode)
             b1 = host[:nb_].copy()
             b2 = np.roll(host, 1_000_003)[:nb_]  # distinct second batch
             # sprinkle FF FF runs: text corpora never produce them, and the
@@ -238,7 +245,16 @@ def main() -> None:
             exact_full[name] = ok
             return encN
 
-        full_check("cuckoo", table, 64)
+        # every kernel lookup mode certified on hardware: chd is what the
+        # selector picks for the 500-rule table, cuckoo is the forced
+        # fallback placement of the same table, perfect is a tiny table's
+        # displacement-free hash, packed_dense the 50k direct chain below
+        full_check("chd", table, 64, expect_mode="chd")
+        full_check("cuckoo", table, 16, force_mode="cuckoo")
+        tiny = MergeTable.build(
+            {(int(p) // 256, int(p) % 256): 256 + i for i, p in enumerate(top[:12])}
+        )
+        full_check("perfect", tiny, 16, expect_mode="perfect")
 
         # packed-dense path: >8K rules forces the direct kernel
         rngd = np.random.default_rng(1)

@@ -418,7 +418,13 @@ class PallasFlatEncoder:
         interpret: bool = False,
         capacity_bytes: int = 0,
         rows_per_block: int = ROWS_PER_BLOCK,
+        force_mode: str | None = None,
     ):
+        """``force_mode`` pins a specific lookup mode ("chd"/"perfect"/
+        "cuckoo"/"direct") instead of the cheapest available — used by the
+        bench/tests to keep every kernel mode certified on hardware even
+        though the selector would not normally pick it. Raises ValueError
+        when the table cannot be built in that mode."""
         if rows_per_block % 8 != 0:
             raise ValueError("rows_per_block must be a multiple of 8")
         self.rows_per_block = rows_per_block
@@ -438,10 +444,21 @@ class PallasFlatEncoder:
             lo = ((e64 & 0xFF) << 8) | ((e64 >> 8) & 0xFF)
             return (((e64 >> 16) << 16) | lo).astype(np.int32)
 
+        if force_mode not in (None, "chd", "perfect", "cuckoo", "direct"):
+            raise ValueError(f"unknown force_mode {force_mode!r}")
         built_chd = None
         built = None
-        if len(table.merges) <= MAX_SLOTS:
+        small = len(table.merges) <= MAX_SLOTS
+        if small and force_mode in (None, "chd", "perfect"):
             built_chd = table.build_chd(MAX_SLOTS)
+            if built_chd is not None and force_mode is not None:
+                got = "perfect" if built_chd[1] is None else "chd"
+                if got != force_mode:
+                    raise ValueError(
+                        f"CHD placement for this table is {got!r}, "
+                        f"not {force_mode!r}"
+                    )
+        if small and force_mode in (None, "cuckoo"):
             # cuckoo is worth building only if it could need fewer total
             # gather segments than the CHD placement that was found
             ck_slots = table.cuckoo_slots(max_slots=MAX_SLOTS)
@@ -459,6 +476,18 @@ class PallasFlatEncoder:
                 if built is not None and chd_segs is not None:
                     if 2 * ck_slots // LANES >= chd_segs:
                         built = None  # CHD still cheaper after fallback
+        if force_mode is not None:
+            want_err = (
+                (force_mode in ("chd", "perfect") and built_chd is None)
+                or (force_mode == "cuckoo" and built is None)
+            )
+            if want_err:
+                raise ValueError(
+                    f"table cannot be built in mode {force_mode!r}"
+                )
+            if force_mode == "direct":
+                built_chd = None
+                built = None
         if built_chd is not None and built is None:
             entries, disp, a1, a2, has_ffff = built_chd
             slots = entries.size

@@ -546,3 +546,19 @@ def test_chd_chained_pieces_carry():
     cuts = sorted(rng.integers(1, 9000, 3).tolist())
     pieces = np.split(data, cuts)
     assert run_encoder(enc, data, pieces) == one
+
+
+def test_force_mode_cuckoo_exact():
+    """force_mode pins the fallback placement; output must be identical."""
+    t = _random_table(500, seed=9)
+    enc_c = PallasFlatEncoder(t, interpret=True, force_mode="cuckoo")
+    assert enc_c.mode == "cuckoo"
+    enc_d = PallasFlatEncoder(t, interpret=True, force_mode="direct")
+    assert enc_d.mode == "direct"
+    rng = np.random.default_rng(9)
+    data = rng.integers(0, 256, 20000).astype(np.uint8)
+    exp = bpe_encode_flat(data, t).tolist()
+    assert run_encoder(enc_c, data) == exp
+    assert run_encoder(enc_d, data) == exp
+    with pytest.raises(ValueError, match="not 'perfect'"):
+        PallasFlatEncoder(t, interpret=True, force_mode="perfect")
