@@ -1072,6 +1072,21 @@ class PallasTokenEncoder:
         return np.asarray(toks_d)[: int(m_d)]
 
 
+def _shard_mapped(mesh, per_shard, in_specs, out_specs):
+    """shard_map + jit with the jax-version compat shims in one place."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    kwargs = dict(mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    try:
+        mapped = shard_map(per_shard, check_vma=False, **kwargs)
+    except TypeError:  # older jax spells it check_rep
+        mapped = shard_map(per_shard, check_rep=False, **kwargs)
+    return jax.jit(mapped)
+
+
 class ShardedTokenEncoder:
     """Row-parallel multipass for general tables over a device mesh.
 
@@ -1111,20 +1126,7 @@ class ShardedTokenEncoder:
         return PallasTokenEncoder.supports(table)
 
     def _shard_mapped(self, per_shard, in_specs, out_specs):
-        """shard_map + jit with the jax-version compat shims in one place."""
-        try:
-            from jax import shard_map
-        except ImportError:  # older jax
-            from jax.experimental.shard_map import shard_map
-
-        kwargs = dict(
-            mesh=self.mesh, in_specs=in_specs, out_specs=out_specs
-        )
-        try:
-            mapped = shard_map(per_shard, check_vma=False, **kwargs)
-        except TypeError:  # older jax spells it check_rep
-            mapped = shard_map(per_shard, check_rep=False, **kwargs)
-        return jax.jit(mapped)
+        return _shard_mapped(self.mesh, per_shard, in_specs, out_specs)
 
     def _build_call(self):
         from jax.sharding import PartitionSpec as P
@@ -1259,6 +1261,174 @@ class ShardedTokenEncoder:
         return [
             toks_h[r, : int(m_h[r])].copy() for r in range(len(chunks))
         ]
+
+
+class ShardedFlatEncoder:
+    """Halo-convergence data parallelism for the flat kernel over a mesh.
+
+    Each device runs the UNMODIFIED flat kernel (one grid, SMEM carries)
+    on one contiguous slab of the stream, prefixed with a HALO copy of
+    the previous slab's tail. The parity recurrence
+    ``merge_start[i] = match[i] & ~merge_start[i-1]`` forgets its initial
+    condition at the first non-matching pair: if any pair position inside
+    the halo is a non-match, every slot from the slab's payload start on
+    is bit-identical to the sequential result (``lz = max(lnm, sentinel)``
+    is dominated by ``lnm`` past that point, see _kernel_body). Shards are
+    therefore embarrassingly parallel — no collectives, no carry
+    threading, no kernel changes; the host splices payload slot ranges
+    and each slab's drain ``prev`` is its own halo's last slot, so even
+    the drop-after-merge filter is stateless per slab.
+
+    The caller must check the convergence precondition per slab boundary
+    (``halo_converges``: >= 1 non-matching pair among the halo's pairs, a
+    vectorized host lookup over HALO bytes) and route degenerate batches
+    — a >=HALO-byte unbroken run of matching pairs at a slab boundary —
+    to the exact XLA carry-composition path
+    (parallel.sharded.sharded_flat_encode), which the engine does per
+    batch. Reference semantics (tokenizer.rs:61-86) are preserved exactly
+    either way; the Pallas route runs each chip at the single-device
+    kernel rate instead of the XLA cummax rate.
+    """
+
+    HALO = 1024  # bytes of left context per slab
+
+    def __init__(
+        self,
+        table: MergeTable,
+        mesh,
+        interpret: bool = False,
+        capacity_bytes: int = 0,
+        rows_per_block: int = ROWS_PER_BLOCK,
+    ):
+        self._single = PallasFlatEncoder(
+            table,
+            interpret=interpret,
+            capacity_bytes=capacity_bytes,
+            rows_per_block=rows_per_block,
+        )
+        assert self._single.capacity, (
+            "ShardedFlatEncoder requires a fixed per-device capacity"
+        )
+        self.mesh = mesh
+        self.n_rows = int(mesh.devices.size)
+        # per-device slab = HALO bytes of context + payload bytes of new data
+        self.capacity = self._single.capacity
+        self.payload = self.capacity - self.HALO
+        # payload >= HALO guarantees every internal slab halo is FULL
+        # (halo_converges' len<2 stream-start case is then unreachable
+        # mid-stream) and bounds halo compute overhead at <= 50%
+        assert self.payload >= self.HALO, (self.capacity, self.HALO)
+        self.table = table
+        self._call = None
+
+    @staticmethod
+    def supports(table: MergeTable) -> bool:
+        return PallasFlatEncoder.supports(table)
+
+    @staticmethod
+    def halo_converges(dense: np.ndarray, halo_plus_one: np.ndarray) -> bool:
+        """True iff the parity recurrence converges within this halo.
+
+        ``halo_plus_one``: the slab's halo bytes plus its first payload
+        byte (so every halo pair is complete). An empty halo converges
+        only at the true stream start (carry is genuinely 0 there) — the
+        caller passes halos it actually has.
+        """
+        if halo_plus_one.shape[0] < 2:
+            return True  # stream start: no halo, carry 0 is exact
+        a = halo_plus_one[:-1].astype(np.int32)
+        b = halo_plus_one[1:].astype(np.int32)
+        from blt_tpu.merges import NO_RULE
+
+        return bool((dense[a * 256 + b] == NO_RULE).any())
+
+    def _build_call(self):
+        from jax.sharding import PartitionSpec as P
+
+        from blt_tpu.parallel.mesh import DATA_AXIS
+
+        enc = self._single
+        interpret = enc.interpret
+        rpb = enc.rows_per_block
+        mode = enc.mode
+
+        def per_shard(params, carry, data3, segs, e1, e2):
+            # local shapes: params (1,8), carry (1,1,1), data3 (1,rows3,128)
+            out, c = _flat_encode_pallas_call(
+                params[0],
+                segs,
+                carry[0],
+                data3[0],
+                e1,
+                e2,
+                interpret=interpret,
+                mode=mode,
+                rows_per_block=rpb,
+            )
+            return out[None], c[None]
+
+        row = P(DATA_AXIS, None)
+        row3 = P(DATA_AXIS, None, None)
+        rep = P()
+        return _shard_mapped(
+            self.mesh, per_shard, (row, row3, row3, rep, rep, rep), (row3, row3)
+        )
+
+    @property
+    def padded_bytes(self) -> int:
+        return self._single.padded_bytes
+
+    def encode_batch(
+        self,
+        batch: np.ndarray,  # uint8[n_rows, padded_bytes]: halo+payload slabs
+        lengths: np.ndarray,  # int32[n_rows]: valid bytes incl. halo
+        next_bytes: np.ndarray,  # int32[n_rows]: byte after each slab / -1
+    ):
+        """Run all slabs in parallel.
+
+        Returns (slots uint16[n_rows, rows, 128], carry_out int32[n_rows,
+        1,1]). Every slab runs with carry_in = 0 — exact under the
+        convergence precondition the caller verified (or an empty halo at
+        stream start). Slots for slab r: flatten row r, positions
+        [halo_r, halo_r + payload_r) are the payload's token slots and
+        position halo_r - 1 is the drain ``prev`` for stateless
+        filtering. The last nonempty slab's carry_out is the true
+        sequential carry at batch end (it converged), which the engine
+        materializes only when a later batch needs the XLA fallback.
+        """
+        import jax as _jax
+
+        from blt_tpu.parallel.mesh import row_sharding
+
+        enc = self._single
+        b = self.n_rows
+        assert batch.shape == (b, self.padded_bytes), batch.shape
+        params = np.zeros((b, 8), np.int32)
+        for r in range(b):
+            params[r] = [
+                int(lengths[r]),
+                enc.bshift,
+                int(next_bytes[r]),
+                enc.a1,
+                enc.a2,
+                1 if enc.has_ffff else 0,
+                enc.shift,
+                0,
+            ]
+        carries = np.zeros((b, 1, 1), np.int32)
+        if self._call is None:
+            self._call = self._build_call()
+        rows3 = self.padded_bytes // LANES
+        row_sh = row_sharding(self.mesh)
+        out, carry = self._call(
+            _jax.device_put(params, row_sh),
+            _jax.device_put(carries, row_sh),
+            _jax.device_put(batch.reshape(b, rows3, LANES), row_sh),
+            enc.segs,
+            enc.e1,
+            enc.e2,
+        )
+        return out, carry
 
 
 def _basic_chained_kernel(tok_ref, data_ref, out_ref, done_ref):

@@ -565,6 +565,174 @@ class ShardedJaxEngine(JaxEngine):
     def _bpe_flat_stream(
         self, chunks: Iterable[np.ndarray], table: MergeTable, chunk_hint: int
     ) -> Iterator[bytes]:
+        if self._mesh_platform() != "cpu":
+            from blt_tpu.ops.bpe_pallas import ShardedFlatEncoder
+
+            if ShardedFlatEncoder.supports(table):
+                slab = align_up(-(-chunk_hint // self.n_rows)
+                                + ShardedFlatEncoder.HALO)
+                try:
+                    enc = ShardedFlatEncoder(
+                        table, self.mesh, capacity_bytes=slab
+                    )
+                except ValueError:
+                    enc = None
+                if enc is not None:
+                    yield from self._bpe_flat_halo_stream(
+                        chunks, table, enc, chunk_hint
+                    )
+                    return
+        yield from self._bpe_flat_xla_stream(chunks, table, chunk_hint)
+
+    def _bpe_flat_halo_stream(
+        self,
+        chunks: Iterable[np.ndarray],
+        table: MergeTable,
+        enc,
+        chunk_hint: int,
+    ) -> Iterator[bytes]:
+        """Flat BPE over the mesh at Pallas-kernel rate per chip.
+
+        Halo-convergence sharding (ops/bpe_pallas.ShardedFlatEncoder):
+        slabs run the single-device kernel in parallel, carry-free; the
+        drain filters each payload against its own halo's last slot, so
+        there is NO cross-batch state at all on the fast path. A batch
+        with a degenerate (all-match) halo boundary routes through the
+        exact XLA carry-composition path with the true boundary carry —
+        materialized from the previous Pallas batch's carry plane only
+        then.
+        """
+        from blt_tpu import native
+        from blt_tpu.ops.bpe_pallas import ShardedFlatEncoder, filter_slots
+        from blt_tpu.parallel.sharded import sharded_flat_encode
+        from blt_tpu.pipeline.feeder import prefetch_iter
+
+        jnp = self._jax.numpy
+        jax = self._jax
+        H = ShardedFlatEncoder.HALO
+        d_rows = enc.n_rows
+        payload = enc.payload
+        dense = table.dense
+        use_native = native.available()
+        threads = self.threads
+        xla_row_bytes = self._row_bytes(chunk_hint)
+        dense_d = None  # uploaded lazily: only degenerate batches need it
+
+        def feed():
+            tail = np.empty(0, np.uint8)
+            # carry bookkeeping for the XLA fallback only:
+            # ("const", bool) | ("dev", xla device scalar) |
+            # ("pallas", carry plane (D,1,1), last nonempty slab index)
+            carry_state = ("const", False)
+
+            def boundary_carry():
+                kind = carry_state[0]
+                if kind == "const":
+                    return carry_state[1]
+                if kind == "dev":
+                    return carry_state[1]
+                c_all, r_last = carry_state[1], carry_state[2]
+                return bool(np.asarray(c_all)[r_last, 0, 0])
+
+            def dispatch(data: np.ndarray, next_byte: int):
+                nonlocal tail, carry_state, dense_d
+                n = data.shape[0]
+                assert n <= d_rows * payload, (n, d_rows, payload)
+                batch = np.zeros((d_rows, enc.padded_bytes), np.uint8)
+                lengths = np.zeros(d_rows, np.int32)
+                next_bytes = np.full(d_rows, -1, np.int32)
+                metas = []
+                offset = 0
+                converged = True
+                for r in range(d_rows):
+                    pl = min(payload, n - offset)
+                    if pl <= 0:
+                        metas.append((0, 0))
+                        continue
+                    halo = tail[-H:] if r == 0 else data[
+                        max(0, offset - H) : offset
+                    ]
+                    hp1 = np.concatenate([halo, data[offset : offset + 1]])
+                    if not ShardedFlatEncoder.halo_converges(dense, hp1):
+                        converged = False
+                        break
+                    hl = halo.shape[0]
+                    batch[r, :hl] = halo
+                    batch[r, hl : hl + pl] = data[offset : offset + pl]
+                    lengths[r] = hl + pl
+                    next_bytes[r] = (
+                        int(data[offset + pl]) if offset + pl < n else next_byte
+                    )
+                    metas.append((hl, pl))
+                    offset += pl
+                if converged:
+                    slots, c_all = enc.encode_batch(batch, lengths, next_bytes)
+                    r_last = max(r for r, (_, pl) in enumerate(metas) if pl)
+                    carry_state = ("pallas", c_all, r_last)
+                    tail = np.concatenate([tail, data])[-H:]
+                    return ("p", slots, metas)
+                # degenerate halo: exact XLA carry-composition fallback
+                if dense_d is None:
+                    dense_d = jax.device_put(dense, self._rep_sh)
+                carry = boundary_carry()
+                batch_d, lengths_d, xl = self._layout(data, xla_row_bytes)
+                tokens, counts, carry_out = sharded_flat_encode(
+                    batch_d, lengths_d, dense_d, carry, jnp.int32(next_byte)
+                )
+                carry_state = ("dev", carry_out)
+                tail = np.concatenate([tail, data])[-H:]
+                return ("x", tokens, counts, xl)
+
+            prev: Optional[np.ndarray] = None
+            for chunk in chunks:
+                if chunk.shape[0] == 0:
+                    continue
+                if prev is not None:
+                    yield dispatch(prev, int(chunk[0]))
+                prev = chunk
+            if prev is not None:
+                yield dispatch(prev, -1)
+
+        def drain(items):
+            for item in items:
+                if item[0] == "p":
+                    _, slots_dev, metas = item
+                    slots_h = np.asarray(slots_dev)  # (D, rows, 128)
+                    parts = []
+                    for r, (hl, pl) in enumerate(metas):
+                        if pl == 0:
+                            continue
+                        flat = slots_h[r].reshape(-1)
+                        prev_tok = int(flat[hl - 1]) if hl > 0 else 0
+                        seg = flat[hl : hl + pl]
+                        if use_native:
+                            wire, _ = native.filter_slots_native(
+                                seg, prev_tok, threads
+                            )
+                        else:
+                            toks, _ = filter_slots(seg, prev_tok)
+                            wire = toks.tobytes()
+                        parts.append(bytes(wire))
+                    yield b"".join(parts)
+                else:
+                    _, tokens_dev, counts_dev, xl = item
+                    tokens_h = np.asarray(tokens_dev)
+                    counts_h = np.asarray(counts_dev)
+                    yield b"".join(
+                        tokens_h[r, : counts_h[r]].astype(">u2").tobytes()
+                        for r in range(self.n_rows)
+                        if xl[r]
+                    )
+
+        yield from prefetch_iter(
+            drain(prefetch_iter(feed(), self.depth, "feed")),
+            self.depth,
+            "drain",
+        )
+
+    def _bpe_flat_xla_stream(
+        self, chunks: Iterable[np.ndarray], table: MergeTable, chunk_hint: int
+    ) -> Iterator[bytes]:
         from blt_tpu.parallel.sharded import sharded_flat_encode
         from blt_tpu.pipeline.feeder import prefetch_iter
 

@@ -413,3 +413,120 @@ def test_sharded_resident_encode_batch_matches_oracle():
         expected = list(bpe_encode_oracle(chunk.tobytes(), merges))
         assert toks.tolist() == expected, chunk.shape
         assert toks2.tolist() == expected, chunk.shape
+
+
+class TestShardedFlatEncoder:
+    """Halo-convergence Pallas flat sharding (interpret mode on the CPU
+    mesh; the compiled kernel itself is certified on hardware by bench.py
+    and the engine route by the driver dryrun)."""
+
+    TABLE = MergeTable.build(
+        {(97, 98): 256, (98, 99): 257, (99, 97): 258, (97, 97): 259}
+    )
+
+    def _encoder(self, mesh):
+        from blt_tpu.ops.bpe_pallas import ShardedFlatEncoder
+
+        # tiny blocks keep interpret mode fast: block = 8*128 = 1KB,
+        # capacity 2KB => payload 1KB per device per batch
+        return ShardedFlatEncoder(
+            self.TABLE,
+            mesh,
+            interpret=True,
+            capacity_bytes=2048,
+            rows_per_block=8,
+        )
+
+    def test_halo_converges(self):
+        from blt_tpu.ops.bpe_pallas import ShardedFlatEncoder
+
+        dense = self.TABLE.dense
+        allmatch = np.frombuffer(b"aa" * 600, np.uint8)  # (97,97) rule
+        assert not ShardedFlatEncoder.halo_converges(dense, allmatch)
+        mixed = np.frombuffer(b"aa" * 500 + b"zz" + b"aa" * 99, np.uint8)
+        assert ShardedFlatEncoder.halo_converges(dense, mixed)
+        # empty/1-byte halo = stream start
+        assert ShardedFlatEncoder.halo_converges(dense, np.empty(0, np.uint8))
+
+    def test_engine_halo_stream_exact(self, mesh):
+        """Multi-batch random stream through the engine's halo route,
+        byte-equal to the host oracle wire."""
+        from blt_tpu.pipeline.engines import ShardedJaxEngine
+
+        eng = ShardedJaxEngine(mesh=mesh)
+        enc = self._encoder(mesh)
+        rng = np.random.default_rng(11)
+        corpus = rng.choice(
+            np.frombuffer(b"abcabcaabbccaaaa zqx", np.uint8), size=33000
+        ).astype(np.uint8)
+        hint = enc.payload * enc.n_rows  # full batches
+        # irregular chunk sizes (each <= hint, the runner's contract)
+        # exercise partial batches + tail halos
+        cuts = [0, hint, 2 * hint - 517, 3 * hint - 517, 4 * hint - 517,
+                corpus.shape[0]]
+        chunks = [corpus[a:b] for a, b in zip(cuts, cuts[1:])]
+        assert all(c.shape[0] <= hint for c in chunks)
+        wire = b"".join(
+            eng._bpe_flat_halo_stream(iter(chunks), self.TABLE, enc, hint)
+        )
+        expected = bpe_numpy.bpe_encode_flat(corpus, self.TABLE)
+        got = np.frombuffer(wire, ">u2").astype(np.int64)
+        assert got.tolist() == expected.tolist()
+
+    def test_engine_halo_stream_degenerate_fallback(self, mesh, monkeypatch):
+        """A >=HALO all-match run across a slab boundary must route that
+        batch through the exact XLA path — and stay byte-exact."""
+        import blt_tpu.parallel.sharded as sharded_mod
+        from blt_tpu.pipeline.engines import ShardedJaxEngine
+
+        eng = ShardedJaxEngine(mesh=mesh)
+        enc = self._encoder(mesh)
+        hint = enc.payload * enc.n_rows
+        corpus = np.concatenate(
+            [
+                np.frombuffer(b"abc" * 400, np.uint8),
+                np.frombuffer(b"aa" * 3000, np.uint8),  # spans boundaries
+                np.frombuffer(b"cab" * 400, np.uint8),
+            ]
+        )
+        calls = {"n": 0}
+        real = sharded_mod.sharded_flat_encode
+
+        def spy(*a, **k):
+            calls["n"] += 1
+            return real(*a, **k)
+
+        monkeypatch.setattr(sharded_mod, "sharded_flat_encode", spy)
+        chunks = [corpus[i : i + hint] for i in range(0, corpus.shape[0], hint)]
+        wire = b"".join(
+            eng._bpe_flat_halo_stream(iter(chunks), self.TABLE, enc, hint)
+        )
+        expected = bpe_numpy.bpe_encode_flat(corpus, self.TABLE)
+        got = np.frombuffer(wire, ">u2").astype(np.int64)
+        assert got.tolist() == expected.tolist()
+        assert calls["n"] >= 1  # the degenerate batch actually fell back
+
+    def test_engine_halo_stream_ffff_and_boundary_merges(self, mesh):
+        """FF-FF rule + merges landing exactly on slab boundaries."""
+        from blt_tpu.ops.bpe_pallas import ShardedFlatEncoder
+        from blt_tpu.pipeline.engines import ShardedJaxEngine
+
+        table = MergeTable.build(
+            {(255, 255): 0xFFFF, (97, 98): 300, (98, 97): 301}
+        )
+        eng = ShardedJaxEngine(mesh=mesh)
+        enc = ShardedFlatEncoder(
+            table, mesh, interpret=True, capacity_bytes=2048, rows_per_block=8
+        )
+        hint = enc.payload * enc.n_rows
+        rng = np.random.default_rng(5)
+        corpus = rng.choice(
+            np.frombuffer(b"ababbaz\xff\xff\xff", np.uint8), size=2 * hint + 77
+        ).astype(np.uint8)
+        chunks = [corpus[i : i + hint] for i in range(0, corpus.shape[0], hint)]
+        wire = b"".join(
+            eng._bpe_flat_halo_stream(iter(chunks), table, enc, hint)
+        )
+        expected = bpe_numpy.bpe_encode_flat(corpus, table)
+        got = np.frombuffer(wire, ">u2").astype(np.int64)
+        assert got.tolist() == expected.tolist()
