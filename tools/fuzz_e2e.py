@@ -142,6 +142,48 @@ def one_trial(rng: np.random.Generator, trial: int, max_bytes: int) -> None:
                     f"({len(got)} vs {len(want)} bytes)"
                 )
 
+    # halo-convergence sharded flat engine (interpret mode over the
+    # virtual mesh): exercises slab packing, convergence detection, the
+    # degenerate-run XLA fallback, and the stateless per-slab drain
+    # across random chunkings. Bounded: every 4th eligible trial.
+    if flat and merges and 0 < len(data) <= 16384 and trial % 4 == 0:
+        import jax
+
+        if len(jax.devices()) > 1:
+            from blt_tpu.ops.bpe_pallas import ShardedFlatEncoder
+            from blt_tpu.parallel.mesh import make_mesh
+            from blt_tpu.pipeline.engines import ShardedJaxEngine
+
+            if ShardedFlatEncoder.supports(table):
+                try:
+                    enc = ShardedFlatEncoder(
+                        table,
+                        make_mesh(),
+                        interpret=True,
+                        capacity_bytes=2048,
+                        rows_per_block=8,
+                    )
+                except ValueError:
+                    enc = None
+                if enc is not None:
+                    eng = ShardedJaxEngine(mesh=enc.mesh)
+                    hint = enc.payload * enc.n_rows
+                    arr = np.frombuffer(data, np.uint8)
+                    step = int(rng.integers(1, hint + 1))
+                    chunks = [
+                        arr[i : i + step] for i in range(0, arr.shape[0], step)
+                    ]
+                    wire = b"".join(
+                        eng._bpe_flat_halo_stream(
+                            iter(chunks), table, enc, hint
+                        )
+                    )
+                    want = tokens_to_be_bytes(bpe_encode_oracle(data, merges))
+                    assert wire == want, (
+                        f"trial {trial}: halo-sharded flat engine mismatch "
+                        f"({len(wire)} vs {len(want)} bytes, step={step})"
+                    )
+
     # device-resident multipass in interpreter mode (same blind-spot
     # closure for the token-pass kernel + while_loop + sort compaction:
     # the CPU engines route hierarchical tables through XLA, so this
