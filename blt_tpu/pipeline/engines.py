@@ -620,6 +620,11 @@ class ShardedJaxEngine(JaxEngine):
 
         def feed():
             tail = np.empty(0, np.uint8)
+            # one reusable slab buffer: jax.device_put snapshots the value
+            # before returning and dispatch runs serially in this thread,
+            # so in-flight batches never alias it. Stale bytes beyond each
+            # slab's length are masked by the kernel (params length).
+            batch_buf = np.zeros((d_rows, enc.padded_bytes), np.uint8)
             # carry bookkeeping for the XLA fallback only:
             # ("const", bool) | ("dev", xla device scalar) |
             # ("pallas", carry plane (D,1,1), last nonempty slab index)
@@ -638,7 +643,7 @@ class ShardedJaxEngine(JaxEngine):
                 nonlocal tail, carry_state, dense_d
                 n = data.shape[0]
                 assert n <= d_rows * payload, (n, d_rows, payload)
-                batch = np.zeros((d_rows, enc.padded_bytes), np.uint8)
+                batch = batch_buf
                 lengths = np.zeros(d_rows, np.int32)
                 next_bytes = np.full(d_rows, -1, np.int32)
                 metas = []
@@ -669,7 +674,11 @@ class ShardedJaxEngine(JaxEngine):
                     slots, c_all = enc.encode_batch(batch, lengths, next_bytes)
                     r_last = max(r for r, (_, pl) in enumerate(metas) if pl)
                     carry_state = ("pallas", c_all, r_last)
-                    tail = np.concatenate([tail, data])[-H:]
+                    tail = (
+                        data[-H:].copy()
+                        if n >= H
+                        else np.concatenate([tail, data])[-H:]
+                    )
                     return ("p", slots, metas)
                 # degenerate halo: exact XLA carry-composition fallback
                 if dense_d is None:
