@@ -1403,18 +1403,14 @@ class ShardedFlatEncoder:
         enc = self._single
         b = self.n_rows
         assert batch.shape == (b, self.padded_bytes), batch.shape
-        params = np.zeros((b, 8), np.int32)
-        for r in range(b):
-            params[r] = [
-                int(lengths[r]),
-                enc.bshift,
-                int(next_bytes[r]),
-                enc.a1,
-                enc.a2,
-                1 if enc.has_ffff else 0,
-                enc.shift,
-                0,
+        # one SMEM params row per slab, via the single source of the
+        # layout (PallasFlatEncoder.params)
+        params = np.stack(
+            [
+                np.asarray(enc.params(int(lengths[r]), int(next_bytes[r])))
+                for r in range(b)
             ]
+        ).astype(np.int32)
         carries = np.zeros((b, 1, 1), np.int32)
         if self._call is None:
             self._call = self._build_call()

@@ -620,11 +620,6 @@ class ShardedJaxEngine(JaxEngine):
 
         def feed():
             tail = np.empty(0, np.uint8)
-            # one reusable slab buffer: jax.device_put snapshots the value
-            # before returning and dispatch runs serially in this thread,
-            # so in-flight batches never alias it. Stale bytes beyond each
-            # slab's length are masked by the kernel (params length).
-            batch_buf = np.zeros((d_rows, enc.padded_bytes), np.uint8)
             # carry bookkeeping for the XLA fallback only:
             # ("const", bool) | ("dev", xla device scalar) |
             # ("pallas", carry plane (D,1,1), last nonempty slab index)
@@ -643,7 +638,14 @@ class ShardedJaxEngine(JaxEngine):
                 nonlocal tail, carry_state, dense_d
                 n = data.shape[0]
                 assert n <= d_rows * payload, (n, d_rows, payload)
-                batch = batch_buf
+                # fresh uninitialized buffer per dispatch: each in-flight
+                # batch owns its memory (jax.device_put may alias numpy
+                # buffers zero-copy on the CPU backend — the hazard
+                # upload_owned documents — so a reused buffer could corrupt
+                # a pipelined batch), and np.empty skips the memset: every
+                # byte beyond a slab's written hl+pl region is masked by
+                # that slab's params length.
+                batch = np.empty((d_rows, enc.padded_bytes), np.uint8)
                 lengths = np.zeros(d_rows, np.int32)
                 next_bytes = np.full(d_rows, -1, np.int32)
                 metas = []

@@ -81,12 +81,12 @@ def widen_chain(data2, tok, rpb=2048, k=K):
     return tok
 
 
-@functools.partial(jax.jit, static_argnames=("rpb", "k", "direct"))
-def bpe_chain(params, carry, data3, e1, e2, rpb=1024, k=K, direct=False):
+@functools.partial(jax.jit, static_argnames=("rpb", "k", "mode"))
+def bpe_chain(params, carry, data3, e1, e2, rpb=1024, k=K, mode="cuckoo"):
     for _ in range(k):
         out, carry = _flat_encode_pallas_call(
             params, jnp.zeros(8, jnp.int32), carry, data3, e1, e2,
-            direct=direct, rows_per_block=rpb
+            mode=mode, rows_per_block=rpb
         )
     return carry
 
@@ -134,18 +134,16 @@ def main():
         buf = np.zeros((padded_rows * LANES,), np.uint8)
         buf[:N] = host
         d3 = jax.device_put(buf.reshape(padded_rows, LANES))
-        params = jnp.asarray(
-            np.array([N, 0, -1, enc.a1, enc.a2, 0, enc.shift, 0], np.int32)
-        )
+        params = enc.params(N)
         zc = jax.device_put(np.zeros((1, 1), np.int32))
         t0 = time.perf_counter()
-        np.asarray(bpe_chain(params, zc, d3, enc.e1, enc.e2, rpb=rpb))
+        np.asarray(bpe_chain(params, zc, d3, enc.e1, enc.e2, rpb=rpb, mode=enc.mode))
         log(f"bpe rpb={rpb}: compile+first {time.perf_counter()-t0:.2f}s")
-        np.asarray(bpe_chain(params, zc, d3, enc.e1, enc.e2, rpb=rpb))
+        np.asarray(bpe_chain(params, zc, d3, enc.e1, enc.e2, rpb=rpb, mode=enc.mode))
         t0 = time.perf_counter()
         r = 4
         for _ in range(r):
-            res = bpe_chain(params, zc, d3, enc.e1, enc.e2, rpb=rpb)
+            res = bpe_chain(params, zc, d3, enc.e1, enc.e2, rpb=rpb, mode=enc.mode)
         np.asarray(res)
         dt = time.perf_counter() - t0
         log(f"bpe rpb={rpb}: {N*K*r/dt/1e9:.2f} GB/s device-chained")

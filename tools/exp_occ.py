@@ -61,15 +61,13 @@ def bench_encoder(enc, host):
     buf = np.zeros((padded_rows * LANES,), np.uint8)
     buf[:N] = host
     d3 = jax.device_put(buf.reshape(padded_rows, LANES))
-    params = jnp.asarray(
-        np.array([N, 0, -1, enc.a1, enc.a2, 0, enc.shift, 0], np.int32)
-    )
+    params = enc.params(N)
     zc = jax.device_put(np.zeros((1, 1), np.int32))
 
     def run():
         return flat_encode_chained(
             params, enc.segs, zc, d3, enc.e1, enc.e2,
-            k=K, direct=enc.direct, rows_per_block=enc.rows_per_block,
+            k=K, mode=enc.mode, rows_per_block=enc.rows_per_block,
         )
 
     t0 = time.perf_counter()

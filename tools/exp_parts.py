@@ -184,7 +184,11 @@ def main():
     top = pairs[np.argsort(-counts)][:RULES]
     merges = {(int(p) // 256, int(p) % 256): 256 + i for i, p in enumerate(top)}
     table = MergeTable.build(merges)
-    enc = B.PallasFlatEncoder(table, capacity_bytes=N, rows_per_block=1024)
+    # this harness re-implements the CUCKOO probe inline, so pin the
+    # encoder to cuckoo placement (the production default is CHD now)
+    enc = B.PallasFlatEncoder(
+        table, capacity_bytes=N, rows_per_block=1024, force_mode="cuckoo"
+    )
     log(f"cuckoo segs per table: {enc.e1.shape[0]}")
 
     rpb = 1024

@@ -116,15 +116,13 @@ def main():
         buf = np.zeros((padded_rows * LANES,), np.uint8)
         buf[:N] = host
         d3 = jax.device_put(buf.reshape(padded_rows, LANES))
-        params = jnp.asarray(
-            np.array([N, 0, -1, enc.a1, enc.a2, 0, enc.shift, 0], np.int32)
-        )
+        params = enc.params(N)
         zc = jnp.asarray(np.zeros((1, 1), np.int32))
 
         def run():
             return _flat_encode_pallas_call(
                 params, enc.segs, zc, d3, enc.e1, enc.e2,
-                direct=enc.direct, rows_per_block=rpb,
+                mode=enc.mode, rows_per_block=rpb,
             )[1]
 
         t0 = time.perf_counter()
