@@ -294,8 +294,16 @@ class MergeTable:
 
         Candidate (slots, B) pairs are tried in increasing total-segment
         order, so the first success is the cheapest lookup this placement
-        family can give. Hashes use the same int32 wrap-around arithmetic
-        as the device kernel (see _build_cuckoo_impl).
+        family can give. The seed budget per candidate scales inversely
+        with the O(n*slots) placement cost: tight candidates (high load,
+        few displacement buckets) are rare per seed but each gather
+        segment they save is worth ~7% of steady-state kernel time, so
+        small tables spend up to 256 seeds hunting the minimal placement
+        (a 500-rule table places at (512,128) = 5 segments in ~0.2s of
+        one-time, memoized build work — measured 17.0 -> 19+ GB/s on v5e)
+        while 8k-rule tables keep the old cheap budget. Hashes use the
+        same int32 wrap-around arithmetic as the device kernel (see
+        _build_cuckoo_impl).
 
         Returns (entries int32[slots] packing key<<16|value, disp
         int32[B] | None when B == 0, A1, A2, has_ffff) or None when no
@@ -323,7 +331,12 @@ class MergeTable:
         cands.sort(key=lambda sb: sb[0] + sb[1])
         rng = np.random.default_rng(0xC4D)
         for slots, B in cands:
-            tries = perfect_tries if B == 0 else seed_tries
+            if B == 0:
+                tries = perfect_tries
+            else:
+                # ~1ms/seed at n*slots=256k (500 rules, 512 slots); cap the
+                # per-candidate search around ~0.3s of host work
+                tries = max(seed_tries, min(256, 200_000_000 // (n * slots)))
             r = self._chd_place(rules, slots, B, rng, tries)
             if r is not None:
                 entries, disp, a1, a2 = r
