@@ -11,8 +11,8 @@ TPU-native design notes (why this shape):
   (merges.MergeTable.build_chd): one displacement gather + ONE entry chain
   at ~0.98 load — (slots+B)/128 total segments vs the 2-table cuckoo's
   2*slots/128 at <=0.5 load (the cuckoo stays as a fallback when CHD
-  placement fails or costs more; measured on v5e, 500 rules: CHD 6 segs
-  17.0 GB/s vs cuckoo 8 segs 13.8 GB/s). Entries pack ``key<<16 | value``
+  placement fails or costs more; measured on v5e, 500 rules: CHD 5 segs
+  18.1 GB/s vs cuckoo 8 segs 13.8 GB/s). Entries pack ``key<<16 | value``
   into one int32 so a probe is a single gather; a hit check compares the
   key half against the queried pair. Table values are stored
   pre-byteswapped so the emit path never swaps (a byte's wire form is
