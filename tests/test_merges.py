@@ -97,3 +97,20 @@ def test_merge_table_flat_classification():
     assert not MergeTable.build({(120, 121): 90, (90, 122): 256}).flat
     # value < 256 but never a key member => still flat
     assert MergeTable.build({(120, 121): 90}).flat
+
+
+def test_chd_500_rule_placement_is_five_segments():
+    """The scaled seed budget must keep finding the (512,128) = 5-gather-
+    segment CHD placement for 500-rule tables (the headline-bench shape);
+    regressing to (512,256) = 6 segments costs ~7% of flat-kernel rate.
+    Deterministic: fixed table seed + fixed placement seed (0xC4D)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    pairs = set()
+    while len(pairs) < 500:
+        pairs.add((int(rng.integers(0, 256)), int(rng.integers(0, 256))))
+    t = MergeTable.build({p: 256 + i for i, p in enumerate(sorted(pairs))})
+    entries, disp, _a1, _a2, _ff = t.build_chd(8192)
+    segs = (entries.size + (0 if disp is None else disp.size)) // 128
+    assert segs == 5, segs
