@@ -417,7 +417,7 @@ class PallasFlatEncoder:
         table: MergeTable,
         interpret: bool = False,
         capacity_bytes: int = 0,
-        rows_per_block: int = ROWS_PER_BLOCK,
+        rows_per_block: int | None = None,
         force_mode: str | None = None,
     ):
         """``force_mode`` pins a specific lookup mode ("chd"/"perfect"/
@@ -425,6 +425,15 @@ class PallasFlatEncoder:
         bench/tests to keep every kernel mode certified on hardware even
         though the selector would not normally pick it. Raises ValueError
         when the table cannot be built in that mode."""
+        if rows_per_block is None:
+            # measured on v5e (benches/results/flat_ablation_r3.json sweep):
+            # 1024-row (128KB) blocks run ~5% faster than 512 (18.4 -> 19.3
+            # GB/s device-chained; 2048 is flat, 4096 fails to compile).
+            # Small serving buckets keep 512 so a 64KB payload does not pad
+            # to a 128KB block.
+            rows_per_block = (
+                1024 if capacity_bytes >= (1 << 20) else ROWS_PER_BLOCK
+            )
         if rows_per_block % 8 != 0:
             raise ValueError("rows_per_block must be a multiple of 8")
         self.rows_per_block = rows_per_block
