@@ -1307,7 +1307,7 @@ class ShardedFlatEncoder:
         mesh,
         interpret: bool = False,
         capacity_bytes: int = 0,
-        rows_per_block: int = ROWS_PER_BLOCK,
+        rows_per_block: int | None = None,
     ):
         self._single = PallasFlatEncoder(
             table,
