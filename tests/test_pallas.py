@@ -506,6 +506,32 @@ def test_mode_selection_by_segments():
     assert PallasFlatEncoder(big, interpret=True).mode == "direct"
 
 
+def test_adaptive_rows_per_block():
+    """>=1MB capacities pick 1024-row (128KB) blocks (measured ~5% faster,
+    benches/results/flat_ablation_r3.json); smaller serving buckets keep
+    the 512-row default; an explicit value always wins."""
+    t = _random_table(8)
+    assert PallasFlatEncoder(t, interpret=True).rows_per_block == 512
+    assert (
+        PallasFlatEncoder(
+            t, interpret=True, capacity_bytes=64 * 1024
+        ).rows_per_block
+        == 512
+    )
+    assert (
+        PallasFlatEncoder(
+            t, interpret=True, capacity_bytes=1 << 20
+        ).rows_per_block
+        == 1024
+    )
+    assert (
+        PallasFlatEncoder(
+            t, interpret=True, capacity_bytes=1 << 20, rows_per_block=8
+        ).rows_per_block
+        == 8
+    )
+
+
 @pytest.mark.parametrize("n", [1, 20, 50, 500, 2000])
 def test_chd_kernel_exact_vs_numpy(n):
     t = _random_table(n, seed=n + 100)
