@@ -66,6 +66,14 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint16),  # last_out
             ctypes.c_int,  # threads
         ]
+        lib.blt_unpack_slots.restype = ctypes.c_size_t
+        lib.blt_unpack_slots.argtypes = [
+            ctypes.c_void_p,  # packed
+            ctypes.c_void_p,  # flags
+            ctypes.c_size_t,  # n
+            ctypes.c_void_p,  # out
+            ctypes.c_int,  # threads
+        ]
         lib.blt_decode_size.restype = ctypes.c_int64
         lib.blt_decode_size.argtypes = [
             ctypes.c_void_p,  # wire
@@ -179,6 +187,28 @@ def decode_expand(
         blob.ctypes.data, out.ctypes.data, threads,
     )
     return out
+
+
+def unpack_slots(
+    packed: np.ndarray, flags: np.ndarray, n: int, threads: int
+) -> memoryview:
+    """Expand the device-packed flat-BPE stream to the u16-BE wire bytes.
+
+    Mirror of blt_tpu.ops.bpe_pallas.unpack_slots_host (see
+    pack_slots_device for the format). Carry-free across batches.
+    """
+    lib = load()
+    assert lib is not None
+    if n == 0:
+        return memoryview(b"")
+    packed = np.ascontiguousarray(packed)
+    flags = np.ascontiguousarray(flags)
+    assert packed.shape[0] >= n and flags.shape[0] >= (n + 7) // 8
+    out = np.empty(2 * n, np.uint8)
+    count = lib.blt_unpack_slots(
+        packed.ctypes.data, flags.ctypes.data, n, out.ctypes.data, threads
+    )
+    return memoryview(out)[:count]
 
 
 def filter_slots_native(

@@ -388,7 +388,108 @@ void blt_decode_fill(const uint8_t* wire, size_t n_tokens,
       &ctx);
 }
 
-int blt_native_version() { return 2; }
+// Expand the device-packed flat-BPE stream (ops/bpe_pallas.py
+// pack_slots_device) back to the u16-BE wire: packed[i] holds position
+// i's emitted byte; flag bit i (LSB-first, 8 positions per flags byte)
+// distinguishes a merged-token half (emit the byte alone) from a raw
+// byte (emit 0x00 then the byte). Carry-free across batches by
+// construction. Returns the output byte count (= 2n - popcount(flags)).
+size_t blt_unpack_slots(const uint8_t* packed, const uint8_t* flags,
+                        size_t n, uint8_t* out, int threads) {
+  if (n == 0) return 0;
+  struct Ctx {
+    const uint8_t* packed;
+    const uint8_t* flags;
+    uint8_t** starts;  // per-range output write pointers (prefix-resolved)
+    size_t per;
+    size_t n;
+  };
+  threads = clamp_threads(threads, n, 1 << 20);
+  // ranges aligned to 8 positions so flag bytes never split across threads
+  size_t per = (((n + threads - 1) / threads) + 7) & ~(size_t)7;
+  int active = (int)((n + per - 1) / per);
+  std::vector<size_t> counts(active, 0);
+  // pass 1: flagged-bit count per range (output size = 2*len - flagged)
+  struct CountCtx {
+    const uint8_t* flags;
+    size_t* counts;
+    size_t per;
+    size_t n;
+  } cctx{flags, counts.data(), per, n};
+  parallel_for(
+      active, n,
+      [](size_t lo, size_t hi, void* p) {
+        auto* c = (CountCtx*)p;
+        int t = (int)(lo / c->per);
+        size_t cnt = 0;
+        size_t i = lo;
+        for (; i + 8 <= hi; i += 8)
+          cnt += (size_t)__builtin_popcount(c->flags[i >> 3]);
+        if (i < hi) {
+          uint8_t fb = c->flags[i >> 3] & (uint8_t)((1u << (hi - i)) - 1);
+          cnt += (size_t)__builtin_popcount(fb);
+        }
+        c->counts[t] = cnt;
+      },
+      &cctx);
+  std::vector<uint8_t*> starts(active);
+  uint8_t* w0 = out;
+  for (int t = 0; t < active; ++t) {
+    size_t lo = (size_t)t * per;
+    size_t hi = lo + per < n ? lo + per : n;
+    starts[t] = w0;
+    w0 += 2 * (hi - lo) - counts[t];
+  }
+  Ctx ctx{packed, flags, starts.data(), per, n};
+  // pass 2: expand each range at its resolved offset
+  parallel_for(
+      active, n,
+      [](size_t lo, size_t hi, void* p) {
+        auto* c = (Ctx*)p;
+        int t = (int)(lo / c->per);
+        uint8_t* w = c->starts[t];
+        const uint8_t* s = c->packed;
+        size_t i = lo;
+        for (; i + 8 <= hi; i += 8) {
+          uint8_t fb = c->flags[i >> 3];
+          if (fb == 0) {
+            // 8 raw bytes -> 16 output bytes: interleave zeros (cf.
+            // blt_widen_be)
+            uint64_t v;
+            memcpy(&v, s + i, 8);
+            auto spread = [](uint64_t x) {
+              x = (x | (x << 16)) & 0x0000FFFF0000FFFFull;
+              x = (x | (x << 8)) & 0x00FF00FF00FF00FFull;
+              return x << 8;
+            };
+            uint64_t out0 = spread(v & 0xFFFFFFFFull);
+            uint64_t out1 = spread(v >> 32);
+            memcpy(w, &out0, 8);
+            memcpy(w + 8, &out1, 8);
+            w += 16;
+          } else {
+            for (int k = 0; k < 8; ++k) {
+              uint8_t f = (fb >> k) & 1;
+              *w = 0;
+              w += (f ^ 1);
+              *w++ = s[i + k];
+            }
+          }
+        }
+        for (; i < hi; ++i) {
+          uint8_t f = (c->flags[i >> 3] >> (i & 7)) & 1;
+          *w = 0;
+          w += (f ^ 1);
+          *w++ = s[i];
+        }
+      },
+      &ctx);
+  size_t lastlo = (size_t)(active - 1) * per;
+  uint8_t* end = starts[active - 1] + 2 * (n - lastlo) - counts[active - 1];
+  return (size_t)(end - out);
+}
+
+int blt_native_version() { return 3; }
 
 }  // extern "C"
 

@@ -430,7 +430,11 @@ class PallasFlatEncoder:
             # 1024-row (128KB) blocks run ~5% faster than 512 (18.4 -> 19.3
             # GB/s device-chained; 2048 is flat, 4096 fails to compile).
             # Small serving buckets keep 512 so a 64KB payload does not pad
-            # to a 128KB block.
+            # to a 128KB block. Dynamic-capacity encoders (capacity_bytes=0,
+            # the test/tool path — every e2e pipeline fixes a capacity) and
+            # PallasTokenEncoder intentionally stay at 512: their shapes
+            # recompile per distinct size anyway, so the ~5% large-batch
+            # win is not worth a per-call block-size re-derivation.
             rows_per_block = (
                 1024 if capacity_bytes >= (1 << 20) else ROWS_PER_BLOCK
             )
@@ -712,8 +716,9 @@ def compact_slots_device(
     predecessor slot's low (swapped) byte is 0 (i.e. the predecessor is
     not a merged token), then stably partitions survivors to the front.
     Lets the pipeline transfer only ~the real output bytes instead of the
-    full 2x-input slot array plus a host filter pass — the winning trade
-    when the host link is slow (engines._device_compact_enabled probe).
+    full 2x-input slot array plus a host filter pass (BLT_D2H=compact).
+    Superseded by pack_slots_device (the default), which moves less data
+    with static shapes and no sort; kept for comparison benches.
     Returns (compacted uint16[capacity], m, last_raw_slot int32).
     """
     s = slots.reshape(-1)[:capacity].astype(jnp.int32)
@@ -725,6 +730,74 @@ def compact_slots_device(
     _, comp = jax.lax.sort_key_val(keys, s)
     last = jnp.where(n > 0, s[jnp.maximum(n - 1, 0)], prev_slot)
     return comp.astype(jnp.uint16), m, last
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def pack_slots_device(
+    slots: jnp.ndarray,  # (rows, 128) uint16 byteswapped slots
+    n: jnp.ndarray,  # int32: valid slot count
+    prev_slot: jnp.ndarray,  # int32: last RAW slot of the previous batch
+    capacity: int,
+):
+    """Pack kernel slots to 1 byte/position + 1 flag bit — the D2H diet.
+
+    The u16 slot array is 2x the input; this emits a byte stream the size
+    of the INPUT plus a 1-bit-per-position flag plane (1.125x total, a
+    1.78x D2H cut), with STATIC output shapes — no device sort, no count
+    sync, no bucketed slicing. Per position i:
+
+      raw byte b  (slot b<<8, flag 0):  emit b          (host: 0x00, b)
+      merge start (slot swapped(v)>=256, flag 1): emit v>>8   (hi)
+      consumed    (slot 0, prev is a start, flag 1): emit v&0xFF (lo)
+
+    Flag-1 positions contribute exactly their byte, flag-0 positions a
+    zero plus their byte, so the host expansion
+    (native.unpack_slots / unpack_slots_host) needs NO carry state: a
+    merge split across batches emits its hi byte at the end of one batch
+    and its lo byte at the start of the next. Relies on the kernel slot
+    invariants: a slot with a nonzero low byte is always followed by a 0
+    consumed slot, and the STREAM's final slot is never a start (at EOF
+    the kernel has next_byte=-1, so no merge begins on the last byte) —
+    equivalent to filter_slots only for such streams.
+    Flags pack LSB-first, 8 consecutive positions per byte.
+    Returns (packed uint8[capacity], flags uint8[capacity//8],
+    last_raw_slot int32).
+    """
+    assert capacity % 8 == 0
+    s = slots.reshape(-1)[:capacity].astype(jnp.int32)
+    prev = jnp.concatenate([prev_slot.reshape(1), s[:-1]])
+    is_start = (s & 0xFF) != 0
+    is_consumed = (prev & 0xFF) != 0
+    byte = jnp.where(
+        is_start, s & 0xFF, jnp.where(is_consumed, prev >> 8, s >> 8)
+    )
+    flag = (is_start | is_consumed).astype(jnp.int32).reshape(-1, 8)
+    weights = jnp.left_shift(1, jnp.arange(8, dtype=jnp.int32))
+    fbytes = jnp.sum(flag * weights, axis=1)
+    last = jnp.where(n > 0, s[jnp.maximum(n - 1, 0)], prev_slot)
+    return byte.astype(jnp.uint8), fbytes.astype(jnp.uint8), last
+
+
+def unpack_slots_host(
+    packed: np.ndarray, flags: np.ndarray, n: int
+) -> np.ndarray:
+    """Host expansion of pack_slots_device output to the u16-BE wire.
+
+    NumPy fallback for native.unpack_slots: flag-0 positions expand to
+    (0x00, byte), flag-1 positions to their single byte. Carry-free (see
+    pack_slots_device).
+    """
+    if n == 0:
+        return np.empty(0, np.uint8)
+    bits = np.unpackbits(
+        np.ascontiguousarray(flags[: (n + 7) // 8]), bitorder="little"
+    )[:n].astype(np.int64)
+    total = int(2 * n - bits.sum())
+    off = 2 * np.arange(n, dtype=np.int64)
+    off[1:] -= np.cumsum(bits[:-1])
+    out = np.zeros(total, np.uint8)
+    out[off + (1 - bits)] = packed[:n]
+    return out
 
 
 @functools.partial(

@@ -36,18 +36,26 @@ log = get_logger("engine")
 # ops/bpe_pallas.py). 64KB floor = one kernel block.
 DEVICE_HINT_FLOOR = 1 << 16
 
-# Device-side output compaction (flat BPE): sort-compact the slot array
-# on device and transfer only ~the real output bytes instead of the full
-# 2x-input slots + a host filter. Measured on the tunneled v5e at
-# ~45 MB/s D2H: the device sort (~90 Melem/s) cancels the ~19% transfer
-# saving (60MB bpe: 15.4 MB/s without, 13.8 with) — so this stays an
-# opt-in knob for links slow enough that the trade flips
-# (BLT_DEVICE_COMPACT=1); exactness is pinned either way
-# (test_compact_slots_device_matches_host_filter).
+# Flat-BPE D2H modes (BLT_D2H env):
+#   packed (default): the kernel slots are repacked on device to 1 byte
+#     per input position + a 1-bit flag plane (ops/bpe_pallas.
+#     pack_slots_device) — 1.125x input bytes over the link instead of
+#     the 2x slot array, with STATIC shapes (no count sync, no sort);
+#     the host expands at memcpy speed (native.unpack_slots).
+#   slots: transfer the raw 2x slot array + host drop-after-merge filter
+#     (the pre-r4 default; escape hatch).
+#   compact: device sort-based compaction (compact_slots_device) +
+#     bucketed dynamic-size transfers. Loses to packed everywhere
+#     measured (the sort costs ~90 Melem/s and the count sync breaks
+#     dispatch overlap); kept for comparison. BLT_DEVICE_COMPACT=1 is
+#     the legacy alias.
 
 
-def _device_compact_enabled() -> bool:
-    return os.environ.get("BLT_DEVICE_COMPACT", "0") == "1"
+def _flat_d2h_mode() -> str:
+    if os.environ.get("BLT_DEVICE_COMPACT", "0") == "1":
+        return "compact"
+    mode = os.environ.get("BLT_D2H", "packed")
+    return mode if mode in ("packed", "slots", "compact") else "packed"
 
 
 def device_capacity_hint(size: int, engine) -> int:
@@ -262,7 +270,12 @@ class JaxEngine:
         rate is max(stage), not sum(stage) — see blt_tpu/pipeline/feeder.py.
         """
         from blt_tpu import native
-        from blt_tpu.ops.bpe_pallas import compact_slots_device, filter_slots
+        from blt_tpu.ops.bpe_pallas import (
+            compact_slots_device,
+            filter_slots,
+            pack_slots_device,
+            unpack_slots_host,
+        )
         from blt_tpu.pipeline.feeder import BufferPool, prefetch_iter
 
         use_native = native.available()
@@ -270,7 +283,7 @@ class JaxEngine:
         pool = BufferPool(encoder.padded_bytes, 2)
         jnp = self._jax.numpy
         capacity = getattr(encoder, "capacity", 0)
-        compact = capacity > 0 and _device_compact_enabled()
+        mode = _flat_d2h_mode() if capacity > 0 else "slots"
         # transfer-size buckets for the compacted prefix (each distinct
         # slice shape compiles once; 16 buckets bound the padding to ~6%)
         step = max(1024, align_up(capacity // 16, 1024))
@@ -286,7 +299,12 @@ class JaxEngine:
                 dev, n = encoder.upload(data, buf, threads)
                 pool.put(buf)
                 slots, _, carry = encoder.encode_device(dev, n, carry, next_byte)
-                if compact:
+                if mode == "packed":
+                    packed, flags, prev_slot = pack_slots_device(
+                        slots, jnp.int32(n), prev_slot, capacity=capacity
+                    )
+                    return packed, flags, n
+                if mode == "compact":
                     comp, m, prev_slot = compact_slots_device(
                         slots, jnp.int32(n), prev_slot, capacity=capacity
                     )
@@ -303,7 +321,11 @@ class JaxEngine:
                 yield dispatch(prev_chunk, -1)
 
         def d2h(items):
-            if compact:
+            if mode == "packed":
+                for packed_dev, flags_dev, n in items:
+                    yield np.asarray(packed_dev), np.asarray(flags_dev), n
+                return
+            if mode == "compact":
                 for comp_dev, m_dev in items:
                     m = int(m_dev)
                     if m == 0:
@@ -316,7 +338,14 @@ class JaxEngine:
                 yield np.asarray(slots_dev).reshape(-1)[:n]
 
         def drain(items):
-            if compact:
+            if mode == "packed":
+                for packed_h, flags_h, n in items:
+                    if use_native:
+                        yield native.unpack_slots(packed_h, flags_h, n, threads)
+                    else:
+                        yield unpack_slots_host(packed_h, flags_h, n)
+                return
+            if mode == "compact":
                 # already drained and compacted on device: the uint16 LE
                 # image is the exact u16-BE wire stream
                 yield from items

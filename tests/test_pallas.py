@@ -450,6 +450,140 @@ def test_compact_slots_device_matches_host_filter():
             assert e.tolist() == g.tolist(), trial
 
 
+def _kernel_invariant_batches(rng, capacity, n_batches, merge_p=0.3):
+    """Random byteswapped-u16 slot streams obeying the kernel invariant:
+    every slot with a nonzero low byte (a merge start) is followed by a 0
+    consumed slot — possibly in the NEXT batch (the cross-batch carry
+    case pack_slots_device must survive)."""
+    batches = []
+    pending_consumed = False
+    for bi in range(n_batches):
+        final = bi == n_batches - 1
+        n = int(rng.integers(1, capacity + 1))
+        vals = np.zeros(n, np.uint16)
+        i = 0
+        if pending_consumed:
+            i = 1  # vals[0] stays 0: consumed by the previous batch's start
+            pending_consumed = False
+        while i < n:
+            # the stream's FINAL slot is never a start: at EOF the kernel
+            # has next_byte=-1, so no merge can begin on the last byte
+            if rng.random() < merge_p and not (final and i == n - 1):
+                v = int(rng.integers(256, 65536))
+                vals[i] = ((v & 0xFF) << 8) | (v >> 8)  # swapped(v), low!=0
+                if i + 1 >= n:
+                    pending_consumed = True
+                i += 2  # the consumed slot stays 0
+            else:
+                vals[i] = int(rng.integers(0, 256)) << 8  # raw byte
+                i += 1
+        batches.append(vals)
+    return batches
+
+
+def test_pack_slots_device_matches_host_filter():
+    """pack_slots_device + unpack (native AND numpy) == filter_slots on
+    kernel-invariant slot streams, incl. merges split across batches."""
+    import jax.numpy as jnp
+
+    from blt_tpu import native
+    from blt_tpu.ops.bpe_pallas import pack_slots_device, unpack_slots_host
+
+    rng = np.random.default_rng(31)
+    capacity = 4096
+    for trial in range(6):
+        batches = _kernel_invariant_batches(rng, capacity, 3)
+
+        prev_tok = 0
+        expected = bytearray()
+        for b in batches:
+            toks, prev_tok = filter_slots(b, prev_tok)
+            expected.extend(toks.tobytes())
+
+        prev_slot = jnp.int32(0)
+        got_np = bytearray()
+        got_native = bytearray()
+        for b in batches:
+            buf = np.zeros(capacity, np.uint16)
+            buf[: b.shape[0]] = b
+            packed, flags, prev_slot = pack_slots_device(
+                jnp.asarray(buf.reshape(-1, 128)),
+                jnp.int32(b.shape[0]), prev_slot, capacity=capacity,
+            )
+            packed_h, flags_h = np.asarray(packed), np.asarray(flags)
+            n = b.shape[0]
+            got_np.extend(unpack_slots_host(packed_h, flags_h, n).tobytes())
+            if native.available():
+                got_native.extend(
+                    bytes(native.unpack_slots(packed_h, flags_h, n, 2))
+                )
+        assert bytes(got_np) == bytes(expected), trial
+        if native.available():
+            assert bytes(got_native) == bytes(expected), trial
+
+
+def test_unpack_slots_native_vs_numpy_fuzz():
+    """Native unpack == numpy unpack across sizes that exercise the 8-wide
+    fast path, range splits, and the masked final flag byte."""
+    from blt_tpu import native
+    from blt_tpu.ops.bpe_pallas import unpack_slots_host
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    for n in (1, 7, 8, 9, 255, 4096, 100003):
+        packed = rng.integers(0, 256, n).astype(np.uint8)
+        nf = (n + 7) // 8
+        for density in (0.0, 0.1, 0.9):
+            bits = (rng.random(nf * 8) < density).astype(np.uint8)
+            flags = np.packbits(bits, bitorder="little")
+            a = unpack_slots_host(packed, flags, n).tobytes()
+            for threads in (1, 3):
+                b = bytes(native.unpack_slots(packed, flags, n, threads))
+                assert a == b, (n, density, threads)
+
+
+def test_rows_per_block_1024_exact():
+    """Encode exactness at the 1024-row block size that large-capacity
+    encoders now default to (the selection logic is pinned separately in
+    test_adaptive_rows_per_block; this certifies the kernel math at that
+    block shape in interpret mode, multi-block with a partial tail)."""
+    t = MergeTable.build({(97, 98): 256, (98, 99): 257, (32, 97): 258})
+    block = 1024 * 128
+    enc = PallasFlatEncoder(
+        t, interpret=True, capacity_bytes=2 * block, rows_per_block=1024
+    )
+    assert enc.rows_per_block == 1024
+    rng = np.random.default_rng(23)
+    data = rng.choice(
+        np.frombuffer(b"abc ab", np.uint8), size=block + block // 2 + 13
+    )
+    got = run_encoder(enc, data)
+    assert got == bpe_encode_flat(data, t).tolist()
+
+
+@pytest.mark.parametrize("d2h", ["packed", "slots", "compact"])
+def test_pipelined_engine_stream_d2h_modes(d2h, monkeypatch):
+    """The 3-stage pipelined stream is exact in every BLT_D2H mode."""
+    from blt_tpu.pipeline.engines import JaxEngine
+
+    monkeypatch.setenv("BLT_D2H", d2h)
+    t = MergeTable.build({(97, 98): 256, (98, 99): 257, (99, 97): 258})
+    rng = np.random.default_rng(13)
+    data = rng.choice(
+        np.frombuffer(b"abcabcaabbcc", np.uint8), size=3 * BLOCK + 41
+    )
+    hint = BLOCK
+    chunks = [data[i : i + hint] for i in range(0, data.shape[0], hint)]
+
+    enc = PallasFlatEncoder(t, interpret=True, capacity_bytes=hint)
+    engine = JaxEngine()
+    out = b"".join(engine._bpe_pallas_stream(iter(chunks), enc, hint))
+    expected = bpe_encode_flat(data, t)
+    got = np.frombuffer(out, ">u2").astype(np.int64)
+    assert got.tolist() == expected.tolist()
+
+
 # --- CHD perfect-hash lookup (merges.build_chd + kernel chd/perfect modes) ---
 
 
