@@ -70,6 +70,7 @@ def load() -> Optional[ctypes.CDLL]:
         lib.blt_unpack_slots.argtypes = [
             ctypes.c_void_p,  # packed
             ctypes.c_void_p,  # flags
+            ctypes.c_size_t,  # start
             ctypes.c_size_t,  # n
             ctypes.c_void_p,  # out
             ctypes.c_int,  # threads
@@ -190,12 +191,15 @@ def decode_expand(
 
 
 def unpack_slots(
-    packed: np.ndarray, flags: np.ndarray, n: int, threads: int
+    packed: np.ndarray, flags: np.ndarray, n: int, threads: int,
+    start: int = 0,
 ) -> memoryview:
     """Expand the device-packed flat-BPE stream to the u16-BE wire bytes.
 
     Mirror of blt_tpu.ops.bpe_pallas.unpack_slots_host (see
-    pack_slots_device for the format). Carry-free across batches.
+    pack_slots_device for the format). Carry-free across batches;
+    ``start`` expands only positions [start, start+n) — the halo-sharded
+    drain's per-slab payload range.
     """
     lib = load()
     assert lib is not None
@@ -203,10 +207,12 @@ def unpack_slots(
         return memoryview(b"")
     packed = np.ascontiguousarray(packed)
     flags = np.ascontiguousarray(flags)
-    assert packed.shape[0] >= n and flags.shape[0] >= (n + 7) // 8
+    assert packed.shape[0] >= start + n
+    assert flags.shape[0] >= (start + n + 7) // 8
     out = np.empty(2 * n, np.uint8)
     count = lib.blt_unpack_slots(
-        packed.ctypes.data, flags.ctypes.data, n, out.ctypes.data, threads
+        packed.ctypes.data, flags.ctypes.data, start, n, out.ctypes.data,
+        threads,
     )
     return memoryview(out)[:count]
 

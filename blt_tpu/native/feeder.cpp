@@ -393,19 +393,22 @@ void blt_decode_fill(const uint8_t* wire, size_t n_tokens,
 // i's emitted byte; flag bit i (LSB-first, 8 positions per flags byte)
 // distinguishes a merged-token half (emit the byte alone) from a raw
 // byte (emit 0x00 then the byte). Carry-free across batches by
-// construction. Returns the output byte count (= 2n - popcount(flags)).
+// construction. ``start`` is the first position to expand (the
+// halo-sharded drain expands only a slab's payload range [start,
+// start+n)). Returns the output byte count (= 2n - popcount(flags)).
 size_t blt_unpack_slots(const uint8_t* packed, const uint8_t* flags,
-                        size_t n, uint8_t* out, int threads) {
+                        size_t start, size_t n, uint8_t* out, int threads) {
   if (n == 0) return 0;
   struct Ctx {
     const uint8_t* packed;
     const uint8_t* flags;
     uint8_t** starts;  // per-range output write pointers (prefix-resolved)
     size_t per;
-    size_t n;
+    size_t start;
   };
   threads = clamp_threads(threads, n, 1 << 20);
-  // ranges aligned to 8 positions so flag bytes never split across threads
+  // ranges sized in multiples of 8 positions; the global start offset may
+  // still be unaligned, so both passes handle ragged heads/tails
   size_t per = (((n + threads - 1) / threads) + 7) & ~(size_t)7;
   int active = (int)((n + per - 1) / per);
   std::vector<size_t> counts(active, 0);
@@ -414,21 +417,20 @@ size_t blt_unpack_slots(const uint8_t* packed, const uint8_t* flags,
     const uint8_t* flags;
     size_t* counts;
     size_t per;
-    size_t n;
-  } cctx{flags, counts.data(), per, n};
+    size_t start;
+  } cctx{flags, counts.data(), per, start};
   parallel_for(
       active, n,
       [](size_t lo, size_t hi, void* p) {
         auto* c = (CountCtx*)p;
         int t = (int)(lo / c->per);
         size_t cnt = 0;
-        size_t i = lo;
-        for (; i + 8 <= hi; i += 8)
+        size_t i = c->start + lo, end = c->start + hi;
+        for (; i < end && (i & 7); ++i)
+          cnt += (c->flags[i >> 3] >> (i & 7)) & 1;
+        for (; i + 8 <= end; i += 8)
           cnt += (size_t)__builtin_popcount(c->flags[i >> 3]);
-        if (i < hi) {
-          uint8_t fb = c->flags[i >> 3] & (uint8_t)((1u << (hi - i)) - 1);
-          cnt += (size_t)__builtin_popcount(fb);
-        }
+        for (; i < end; ++i) cnt += (c->flags[i >> 3] >> (i & 7)) & 1;
         c->counts[t] = cnt;
       },
       &cctx);
@@ -440,7 +442,7 @@ size_t blt_unpack_slots(const uint8_t* packed, const uint8_t* flags,
     starts[t] = w0;
     w0 += 2 * (hi - lo) - counts[t];
   }
-  Ctx ctx{packed, flags, starts.data(), per, n};
+  Ctx ctx{packed, flags, starts.data(), per, start};
   // pass 2: expand each range at its resolved offset
   parallel_for(
       active, n,
@@ -449,8 +451,14 @@ size_t blt_unpack_slots(const uint8_t* packed, const uint8_t* flags,
         int t = (int)(lo / c->per);
         uint8_t* w = c->starts[t];
         const uint8_t* s = c->packed;
-        size_t i = lo;
-        for (; i + 8 <= hi; i += 8) {
+        size_t i = c->start + lo, end = c->start + hi;
+        for (; i < end && (i & 7); ++i) {
+          uint8_t f = (c->flags[i >> 3] >> (i & 7)) & 1;
+          *w = 0;
+          w += (f ^ 1);
+          *w++ = s[i];
+        }
+        for (; i + 8 <= end; i += 8) {
           uint8_t fb = c->flags[i >> 3];
           if (fb == 0) {
             // 8 raw bytes -> 16 output bytes: interleave zeros (cf.
@@ -476,7 +484,7 @@ size_t blt_unpack_slots(const uint8_t* packed, const uint8_t* flags,
             }
           }
         }
-        for (; i < hi; ++i) {
+        for (; i < end; ++i) {
           uint8_t f = (c->flags[i >> 3] >> (i & 7)) & 1;
           *w = 0;
           w += (f ^ 1);

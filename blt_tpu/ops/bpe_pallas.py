@@ -765,6 +765,14 @@ def pack_slots_device(
     """
     assert capacity % 8 == 0
     s = slots.reshape(-1)[:capacity].astype(jnp.int32)
+    byte, fbytes = _pack_slots_core(s, prev_slot)
+    last = jnp.where(n > 0, s[jnp.maximum(n - 1, 0)], prev_slot)
+    return byte, fbytes, last
+
+
+def _pack_slots_core(s: jnp.ndarray, prev_slot: jnp.ndarray):
+    """Shared pack arithmetic over a flat int32 slot vector (see
+    pack_slots_device). Returns (bytes uint8[n], flags uint8[n//8])."""
     prev = jnp.concatenate([prev_slot.reshape(1), s[:-1]])
     is_start = (s & 0xFF) != 0
     is_consumed = (prev & 0xFF) != 0
@@ -774,29 +782,43 @@ def pack_slots_device(
     flag = (is_start | is_consumed).astype(jnp.int32).reshape(-1, 8)
     weights = jnp.left_shift(1, jnp.arange(8, dtype=jnp.int32))
     fbytes = jnp.sum(flag * weights, axis=1)
-    last = jnp.where(n > 0, s[jnp.maximum(n - 1, 0)], prev_slot)
-    return byte.astype(jnp.uint8), fbytes.astype(jnp.uint8), last
+    return byte.astype(jnp.uint8), fbytes.astype(jnp.uint8)
+
+
+@jax.jit
+def pack_slots_batch(slots: jnp.ndarray):
+    """Per-slab pack for the halo-sharded drain: (B, rows, 128) slots ->
+    (B, rows*128) bytes + (B, rows*16) flags, each slab packed
+    independently with prev_slot=0 (slab position 0 is always inside the
+    dropped halo region, so its prev never matters). vmapped elementwise
+    work — XLA partitions it over the slab axis with no collectives when
+    the input is row-sharded."""
+    b = slots.shape[0]
+    s = slots.reshape(b, -1).astype(jnp.int32)
+    return jax.vmap(_pack_slots_core, in_axes=(0, None))(s, jnp.int32(0))
 
 
 def unpack_slots_host(
-    packed: np.ndarray, flags: np.ndarray, n: int
+    packed: np.ndarray, flags: np.ndarray, n: int, start: int = 0
 ) -> np.ndarray:
     """Host expansion of pack_slots_device output to the u16-BE wire.
 
     NumPy fallback for native.unpack_slots: flag-0 positions expand to
     (0x00, byte), flag-1 positions to their single byte. Carry-free (see
-    pack_slots_device).
+    pack_slots_device); ``start`` expands only positions
+    [start, start+n).
     """
     if n == 0:
         return np.empty(0, np.uint8)
+    end = start + n
     bits = np.unpackbits(
-        np.ascontiguousarray(flags[: (n + 7) // 8]), bitorder="little"
-    )[:n].astype(np.int64)
+        np.ascontiguousarray(flags[: (end + 7) // 8]), bitorder="little"
+    )[start:end].astype(np.int64)
     total = int(2 * n - bits.sum())
     off = 2 * np.arange(n, dtype=np.int64)
     off[1:] -= np.cumsum(bits[:-1])
     out = np.zeros(total, np.uint8)
-    out[off + (1 - bits)] = packed[:n]
+    out[off + (1 - bits)] = packed[start:end]
     return out
 
 

@@ -529,20 +529,28 @@ class ShardedJaxEngine(JaxEngine):
         self._rep_sh = replicated(self.mesh)
 
     def _layout(self, chunk: np.ndarray, row_bytes: int):
-        """Fill a (n_rows, row_bytes) batch front-to-back + per-row lengths."""
+        """Fill a (n_rows, row_bytes) batch front-to-back + per-row lengths.
+
+        Rows are consecutive slices of the chunk, so the fill is ONE
+        contiguous (native multithreaded) copy into an uninitialized
+        buffer — no memset, no per-row Python loop; bytes beyond each
+        row's length are stale and every consumer masks by the lengths
+        vector (sharded_flat_encode's valid_pair/keep masks; the basic
+        drain slices the contiguous valid prefix)."""
+        from blt_tpu.pipeline.feeder import pack_into
+
         b = self.n_rows
-        batch = np.zeros((b, row_bytes), np.uint8)
-        lengths = np.zeros(b, np.int32)
         n = chunk.shape[0]
         # a chunk beyond the batch capacity would silently drop its tail
         # (the single-device upload paths assert the same contract)
         assert n <= b * row_bytes, (n, b, row_bytes)
-        for r in range(b):
-            row = chunk[r * row_bytes : (r + 1) * row_bytes]
-            batch[r, : row.shape[0]] = row
-            lengths[r] = row.shape[0]
-            if (r + 1) * row_bytes >= n:
-                break
+        batch = np.empty((b, row_bytes), np.uint8)
+        pack_into(batch.reshape(-1), chunk, self.threads)
+        full = n // row_bytes
+        lengths = np.zeros(b, np.int32)
+        lengths[:full] = row_bytes
+        if full < b:
+            lengths[full] = n - full * row_bytes
         return (
             self._jax.device_put(batch, self._row_sh),
             self._jax.device_put(lengths, self._vec_sh),
@@ -575,15 +583,16 @@ class ShardedJaxEngine(JaxEngine):
             for chunk in chunks:
                 if chunk.shape[0] == 0:
                     continue
-                batch_d, _, lengths = self._layout(chunk, row_bytes)
-                yield sharded_basic_encode(batch_d), lengths
+                batch_d, _, _ = self._layout(chunk, row_bytes)
+                yield sharded_basic_encode(batch_d), chunk.shape[0]
 
         def drain(items):
-            for out, lengths in items:
-                host = np.asarray(out)
-                yield b"".join(
-                    host[r, : lengths[r]].tobytes() for r in range(self.n_rows)
-                )
+            for out, n in items:
+                # rows are filled front-to-back, so the valid tokens form a
+                # CONTIGUOUS prefix of the flattened (b, row_bytes) u16
+                # batch: one transfer, one slice, zero per-row joins (u16
+                # LE image == u16-BE wire)
+                yield np.asarray(out).reshape(-1)[:n]
 
         yield from prefetch_iter(
             drain(prefetch_iter(feed(), self.depth, "feed")),
@@ -624,17 +633,34 @@ class ShardedJaxEngine(JaxEngine):
 
         Halo-convergence sharding (ops/bpe_pallas.ShardedFlatEncoder):
         slabs run the single-device kernel in parallel, carry-free; the
-        drain filters each payload against its own halo's last slot, so
-        there is NO cross-batch state at all on the fast path. A batch
-        with a degenerate (all-match) halo boundary routes through the
-        exact XLA carry-composition path with the true boundary carry —
-        materialized from the previous Pallas batch's carry plane only
-        then.
+        drain is stateless per slab, so there is NO cross-batch state at
+        all on the fast path. A batch with a degenerate (all-match) halo
+        boundary routes through the exact XLA carry-composition path with
+        the true boundary carry — materialized from the previous Pallas
+        batch's carry plane only then.
+
+        D2H (BLT_D2H=packed, the default): slots repack on device to
+        1 byte/position + flag bits (pack_slots_batch) and each slab's
+        payload range expands independently on the host — 1.78x less
+        transfer and no per-slab filter/join. Packed emission splits a
+        boundary-straddling merge (hi at the start's slab, lo at the
+        consuming slab), which composes silently across slabs AND batches;
+        only transitions to/from the XLA fallback (which emits whole
+        tokens) need a convention bridge: after an XLA batch whose carry
+        consumed this batch's first byte, the first packed position is
+        SKIPPED (its token was already fully emitted); an XLA batch
+        following a packed batch with a pending merge PREPENDS that
+        merge's lo byte.
         """
         from blt_tpu import native
-        from blt_tpu.ops.bpe_pallas import ShardedFlatEncoder, filter_slots
+        from blt_tpu.ops.bpe_pallas import (
+            ShardedFlatEncoder,
+            filter_slots,
+            pack_slots_batch,
+            unpack_slots_host,
+        )
         from blt_tpu.parallel.sharded import sharded_flat_encode
-        from blt_tpu.pipeline.feeder import prefetch_iter
+        from blt_tpu.pipeline.feeder import pack_into, prefetch_iter
 
         jnp = self._jax.numpy
         jax = self._jax
@@ -646,6 +672,7 @@ class ShardedJaxEngine(JaxEngine):
         threads = self.threads
         xla_row_bytes = self._row_bytes(chunk_hint)
         dense_d = None  # uploaded lazily: only degenerate batches need it
+        packed_mode = _flat_d2h_mode() == "packed"
 
         def feed():
             tail = np.empty(0, np.uint8)
@@ -653,6 +680,7 @@ class ShardedJaxEngine(JaxEngine):
             # ("const", bool) | ("dev", xla device scalar) |
             # ("pallas", carry plane (D,1,1), last nonempty slab index)
             carry_state = ("const", False)
+            prev_kind = None  # "p" | "x": emission convention of last batch
 
             def boundary_carry():
                 kind = carry_state[0]
@@ -664,7 +692,7 @@ class ShardedJaxEngine(JaxEngine):
                 return bool(np.asarray(c_all)[r_last, 0, 0])
 
             def dispatch(data: np.ndarray, next_byte: int):
-                nonlocal tail, carry_state, dense_d
+                nonlocal tail, carry_state, dense_d, prev_kind
                 n = data.shape[0]
                 assert n <= d_rows * payload, (n, d_rows, payload)
                 # fresh uninitialized buffer per dispatch: each in-flight
@@ -694,7 +722,9 @@ class ShardedJaxEngine(JaxEngine):
                         break
                     hl = halo.shape[0]
                     batch[r, :hl] = halo
-                    batch[r, hl : hl + pl] = data[offset : offset + pl]
+                    # payload fill: native multithreaded copy for large slabs
+                    pack_into(batch[r, hl:], data[offset : offset + pl],
+                              threads)
                     lengths[r] = hl + pl
                     next_bytes[r] = (
                         int(data[offset + pl]) if offset + pl < n else next_byte
@@ -702,26 +732,52 @@ class ShardedJaxEngine(JaxEngine):
                     metas.append((hl, pl))
                     offset += pl
                 if converged:
+                    # bridge rule 1: the previous XLA batch's carry consumed
+                    # this batch's first byte AND already emitted the whole
+                    # merged token — skip the packed stream's first position
+                    # (it would re-emit the lo byte). Rare (only right after
+                    # a degenerate batch), so the host sync is off the hot
+                    # path.
+                    skip_first = (
+                        packed_mode
+                        and prev_kind == "x"
+                        and bool(np.asarray(boundary_carry()))
+                    )
                     slots, c_all = enc.encode_batch(batch, lengths, next_bytes)
                     r_last = max(r for r, (_, pl) in enumerate(metas) if pl)
                     carry_state = ("pallas", c_all, r_last)
+                    prev_kind = "p"
                     tail = (
                         data[-H:].copy()
                         if n >= H
                         else np.concatenate([tail, data])[-H:]
                     )
-                    return ("p", slots, metas)
+                    if packed_mode:
+                        pk, fl = pack_slots_batch(slots)
+                        return ("p", pk, fl, metas, skip_first)
+                    return ("ps", slots, metas)
                 # degenerate halo: exact XLA carry-composition fallback
                 if dense_d is None:
                     dense_d = jax.device_put(dense, self._rep_sh)
                 carry = boundary_carry()
-                batch_d, lengths_d, xl = self._layout(data, xla_row_bytes)
+                # bridge rule 2: a pending merge from a packed batch emitted
+                # only its hi byte; this batch's consumed first byte emits
+                # nothing under XLA convention, so prepend the lo byte here
+                # (the pair is (previous batch's last byte, this first byte))
+                prefix = b""
+                if packed_mode and prev_kind == "p" and bool(
+                    np.asarray(carry)
+                ):
+                    v = int(dense[int(tail[-1]) * 256 + int(data[0])])
+                    prefix = bytes([v & 0xFF])
+                batch_d, lengths_d, _ = self._layout(data, xla_row_bytes)
                 tokens, counts, carry_out = sharded_flat_encode(
                     batch_d, lengths_d, dense_d, carry, jnp.int32(next_byte)
                 )
                 carry_state = ("dev", carry_out)
+                prev_kind = "x"
                 tail = np.concatenate([tail, data])[-H:]
-                return ("x", tokens, counts, xl)
+                return ("x", tokens, counts, prefix)
 
             prev: Optional[np.ndarray] = None
             for chunk in chunks:
@@ -733,12 +789,42 @@ class ShardedJaxEngine(JaxEngine):
             if prev is not None:
                 yield dispatch(prev, -1)
 
+        def d2h(items):
+            for item in items:
+                if item[0] == "p":
+                    _, pk, fl, metas, skip_first = item
+                    yield "p", np.asarray(pk), np.asarray(fl), metas, skip_first
+                elif item[0] == "ps":
+                    _, slots_dev, metas = item
+                    yield "ps", np.asarray(slots_dev), metas
+                else:
+                    _, tokens_dev, counts_dev, prefix = item
+                    yield "x", np.asarray(tokens_dev), np.asarray(
+                        counts_dev
+                    ), prefix
+
         def drain(items):
             for item in items:
                 if item[0] == "p":
-                    _, slots_dev, metas = item
-                    slots_h = np.asarray(slots_dev)  # (D, rows, 128)
-                    parts = []
+                    _, packed_h, flags_h, metas, skip_first = item
+                    for r, (hl, pl) in enumerate(metas):
+                        if pl == 0:
+                            continue
+                        start, cnt = hl, pl
+                        if r == 0 and skip_first:
+                            start, cnt = hl + 1, pl - 1
+                        if cnt == 0:
+                            continue
+                        if use_native:
+                            yield native.unpack_slots(
+                                packed_h[r], flags_h[r], cnt, threads, start
+                            )
+                        else:
+                            yield unpack_slots_host(
+                                packed_h[r], flags_h[r], cnt, start
+                            )
+                elif item[0] == "ps":
+                    _, slots_h, metas = item  # (D, rows, 128)
                     for r, (hl, pl) in enumerate(metas):
                         if pl == 0:
                             continue
@@ -751,21 +837,25 @@ class ShardedJaxEngine(JaxEngine):
                             )
                         else:
                             toks, _ = filter_slots(seg, prev_tok)
-                            wire = toks.tobytes()
-                        parts.append(bytes(wire))
-                    yield b"".join(parts)
+                            wire = toks
+                        yield wire
                 else:
-                    _, tokens_dev, counts_dev, xl = item
-                    tokens_h = np.asarray(tokens_dev)
-                    counts_h = np.asarray(counts_dev)
-                    yield b"".join(
-                        tokens_h[r, : counts_h[r]].astype(">u2").tobytes()
-                        for r in range(self.n_rows)
-                        if xl[r]
-                    )
+                    _, tokens_h, counts_h, prefix = item
+                    if prefix:
+                        yield prefix
+                    total = int(counts_h.sum())
+                    out = np.empty(total, dtype=">u2")
+                    o = 0
+                    for r in range(self.n_rows):
+                        c = int(counts_h[r])
+                        if c:
+                            out[o : o + c] = tokens_h[r, :c]
+                            o += c
+                    yield out
 
         yield from prefetch_iter(
-            drain(prefetch_iter(feed(), self.depth, "feed")),
+            drain(prefetch_iter(d2h(prefetch_iter(feed(), self.depth, "feed")),
+                                self.depth, "d2h")),
             self.depth,
             "drain",
         )
@@ -786,11 +876,11 @@ class ShardedJaxEngine(JaxEngine):
 
             def dispatch(data: np.ndarray, next_byte: int):
                 nonlocal carry
-                batch_d, lengths_d, lengths = self._layout(data, row_bytes)
+                batch_d, lengths_d, _ = self._layout(data, row_bytes)
                 tokens, counts, carry = sharded_flat_encode(
                     batch_d, lengths_d, dense_d, carry, jnp.int32(next_byte)
                 )
-                return tokens, counts, lengths
+                return tokens, counts
 
             for chunk in chunks:
                 if chunk.shape[0] == 0:
@@ -802,14 +892,19 @@ class ShardedJaxEngine(JaxEngine):
                 yield dispatch(prev, -1)
 
         def drain(items):
-            for tokens_dev, counts_dev, lengths in items:
+            for tokens_dev, counts_dev in items:
+                # single-allocation assembly: per-row slices convert into a
+                # preallocated >u2 output (empty rows have count 0)
                 tokens_h = np.asarray(tokens_dev)
                 counts_h = np.asarray(counts_dev)
-                yield b"".join(
-                    tokens_h[r, : counts_h[r]].astype(">u2").tobytes()
-                    for r in range(self.n_rows)
-                    if lengths[r]
-                )
+                out = np.empty(int(counts_h.sum()), dtype=">u2")
+                o = 0
+                for r in range(self.n_rows):
+                    c = int(counts_h[r])
+                    if c:
+                        out[o : o + c] = tokens_h[r, :c]
+                        o += c
+                yield out
 
         yield from prefetch_iter(
             drain(prefetch_iter(feed(), self.depth, "feed")),
@@ -904,10 +999,14 @@ class ShardedJaxEngine(JaxEngine):
             toks_d, counts_d, nrows = pending.popleft()
             toks_h = np.asarray(toks_d)
             counts_h = np.asarray(counts_d)
-            return b"".join(
-                toks_h[r, : counts_h[r]].astype(">u2").tobytes()
-                for r in range(nrows)
-            )
+            out = np.empty(int(counts_h[:nrows].sum()), dtype=">u2")
+            o = 0
+            for r in range(nrows):
+                c = int(counts_h[r])
+                if c:
+                    out[o : o + c] = toks_h[r, :c]
+                    o += c
+            return out
 
         for chunk in chunks:
             if chunk.shape[0] == 0:

@@ -448,11 +448,13 @@ class TestShardedFlatEncoder:
         # empty/1-byte halo = stream start
         assert ShardedFlatEncoder.halo_converges(dense, np.empty(0, np.uint8))
 
-    def test_engine_halo_stream_exact(self, mesh):
+    @pytest.mark.parametrize("d2h", ["packed", "slots"])
+    def test_engine_halo_stream_exact(self, mesh, d2h, monkeypatch):
         """Multi-batch random stream through the engine's halo route,
-        byte-equal to the host oracle wire."""
+        byte-equal to the host oracle wire (both D2H formats)."""
         from blt_tpu.pipeline.engines import ShardedJaxEngine
 
+        monkeypatch.setenv("BLT_D2H", d2h)
         eng = ShardedJaxEngine(mesh=mesh)
         enc = self._encoder(mesh)
         rng = np.random.default_rng(11)
@@ -473,12 +475,18 @@ class TestShardedFlatEncoder:
         got = np.frombuffer(wire, ">u2").astype(np.int64)
         assert got.tolist() == expected.tolist()
 
-    def test_engine_halo_stream_degenerate_fallback(self, mesh, monkeypatch):
+    @pytest.mark.parametrize("d2h", ["packed", "slots"])
+    def test_engine_halo_stream_degenerate_fallback(
+        self, mesh, d2h, monkeypatch
+    ):
         """A >=HALO all-match run across a slab boundary must route that
-        batch through the exact XLA path — and stay byte-exact."""
+        batch through the exact XLA path — and stay byte-exact (in packed
+        mode this crosses BOTH emission-convention bridges: packed->XLA
+        lo-byte prefix and XLA->packed first-position skip)."""
         import blt_tpu.parallel.sharded as sharded_mod
         from blt_tpu.pipeline.engines import ShardedJaxEngine
 
+        monkeypatch.setenv("BLT_D2H", d2h)
         eng = ShardedJaxEngine(mesh=mesh)
         enc = self._encoder(mesh)
         hint = enc.payload * enc.n_rows
@@ -505,6 +513,59 @@ class TestShardedFlatEncoder:
         got = np.frombuffer(wire, ">u2").astype(np.int64)
         assert got.tolist() == expected.tolist()
         assert calls["n"] >= 1  # the degenerate batch actually fell back
+
+    @pytest.mark.parametrize("d2h", ["packed", "slots"])
+    def test_engine_halo_stream_pending_carry_transitions(
+        self, mesh, d2h, monkeypatch
+    ):
+        """Deterministic pending-merge carries across BOTH mode
+        transitions: a packed batch ends mid-merge into a degenerate
+        (XLA) batch — bridge rule 2 must prepend the lo byte — and that
+        XLA batch ends mid-merge into a converging packed batch — bridge
+        rule 1 must skip the re-emitted first position."""
+        import blt_tpu.parallel.sharded as sharded_mod
+        from blt_tpu.pipeline.engines import ShardedJaxEngine
+
+        monkeypatch.setenv("BLT_D2H", d2h)
+        eng = ShardedJaxEngine(mesh=mesh)
+        enc = self._encoder(mesh)
+        hint = enc.payload * enc.n_rows
+        H = enc.HALO
+        filler = np.frombuffer(
+            b"zq" * ((hint - H - 1) // 2) + b"z", np.uint8
+        )
+        # batch0 (pallas): filler then an ODD run of a's >= H+1 — its last
+        # 'a' starts a (97,97) merge consuming batch1's first byte, and
+        # batch1's slab-0 halo (all a's) is degenerate
+        b0 = np.concatenate(
+            [filler, np.frombuffer(b"a" * (hint - filler.size), np.uint8)]
+        )
+        assert (hint - filler.size) >= H + 1 and (hint - filler.size) % 2 == 1
+        # batch1 (XLA): a's with a 'z' break near the end, ending in a
+        # single 'a' that starts a merge into batch2 (carry_out true) while
+        # leaving a non-match inside batch2's slab-0 halo (so it converges)
+        b1 = np.frombuffer(b"a" * (hint - 2) + b"za", np.uint8)
+        # batch2 (pallas again): first byte is the consumed half
+        b2 = np.concatenate(
+            [np.frombuffer(b"a", np.uint8), filler[: 4096 - 1]]
+        )
+        corpus = np.concatenate([b0, b1, b2])
+
+        calls = {"n": 0}
+        real = sharded_mod.sharded_flat_encode
+
+        def spy(*a, **k):
+            calls["n"] += 1
+            return real(*a, **k)
+
+        monkeypatch.setattr(sharded_mod, "sharded_flat_encode", spy)
+        wire = b"".join(
+            eng._bpe_flat_halo_stream(iter([b0, b1, b2]), self.TABLE, enc, hint)
+        )
+        expected = bpe_numpy.bpe_encode_flat(corpus, self.TABLE)
+        got = np.frombuffer(wire, ">u2").astype(np.int64)
+        assert got.tolist() == expected.tolist()
+        assert calls["n"] == 1  # exactly the middle batch fell back
 
     def test_engine_halo_stream_ffff_and_boundary_merges(self, mesh):
         """FF-FF rule + merges landing exactly on slab boundaries."""
