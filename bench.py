@@ -40,10 +40,28 @@ N = 64 * 1024 * 1024  # 64MB device batches
 # overhead stays <5% of each call's device time for that mode's rate
 K_BASIC = 96
 K_BPE = 24
-REPS = 3  # timed jit calls
+REPS = 5  # timed jit calls (each timed individually: median + IQR)
+E2E_REPS = 3  # steady-state file->file reps (each ~20s on a healthy link)
 RULES = 500
 BASIC_RPB = 2048
 BPE_RPB = 1024
+
+
+def rate_stats(rates) -> dict:
+    """Median + dispersion over per-rep rates (bytes/s). Medians make the
+    headline robust to single-rep link/scheduler hiccups; the recorded
+    IQR makes run-to-run regression comparisons trustworthy (the
+    reference's analog: Criterion sample_size=10,
+    reference benches/pipeline_benchmark.rs:26)."""
+    r = np.asarray(sorted(rates), dtype=np.float64)
+    q1, med, q3 = np.percentile(r, [25, 50, 75])
+    return {
+        "median": float(med),
+        "iqr": float(q3 - q1),
+        "min": float(r[0]),
+        "max": float(r[-1]),
+        "n": int(r.size),
+    }
 
 
 def log(msg: str) -> None:
@@ -135,15 +153,19 @@ def main() -> None:
     log(f"basic compile+first: {time.perf_counter()-t0:.2f}s")
     out, tok = basic_encode_chained(buf0, tok0, k=K_BASIC, rows_per_block=BASIC_RPB)
     force(tok)
-    t0 = time.perf_counter()
+    basic_rates = []
     for _ in range(REPS):
+        t0 = time.perf_counter()
         out, tok = basic_encode_chained(
             buf0, tok0, k=K_BASIC, rows_per_block=BASIC_RPB
         )
-    force(tok)
-    basic_bps = N * K_BASIC * REPS / (time.perf_counter() - t0)
+        force(tok)
+        basic_rates.append(N * K_BASIC / (time.perf_counter() - t0))
+    basic_stats = rate_stats(basic_rates)
+    basic_bps = basic_stats["median"]
     del out, tok, buf0
-    log(f"basic: {basic_bps/1e9:.2f} GB/s")
+    log(f"basic: {basic_bps/1e9:.2f} GB/s "
+        f"(IQR {basic_stats['iqr']/1e9:.2f}, n={REPS})")
 
     # --- flat BPE (Pallas kernel), K carry-chained kernels per jit call ---
     enc = PallasFlatEncoder(table, capacity_bytes=N, rows_per_block=BPE_RPB)
@@ -179,12 +201,16 @@ def main() -> None:
     log(f"bpe compile+first: {time.perf_counter()-t0:.2f}s")
     slots, carry = run_bpe()
     force(carry)
-    t0 = time.perf_counter()
+    bpe_rates = []
     for _ in range(REPS):
+        t0 = time.perf_counter()
         slots, carry = run_bpe()
-    force(carry)
-    bpe_bps = N * K_BPE * REPS / (time.perf_counter() - t0)
-    log(f"bpe: {bpe_bps/1e9:.2f} GB/s")
+        force(carry)
+        bpe_rates.append(N * K_BPE / (time.perf_counter() - t0))
+    bpe_stats = rate_stats(bpe_rates)
+    bpe_bps = bpe_stats["median"]
+    log(f"bpe: {bpe_bps/1e9:.2f} GB/s "
+        f"(IQR {bpe_stats['iqr']/1e9:.2f}, n={REPS})")
 
     # correctness spot check vs the NumPy engine on a 4MB prefix (the last
     # couple of tokens at the cut may straddle the prefix edge)
@@ -285,12 +311,17 @@ def main() -> None:
 
         _, cd = run_dense()
         force(cd)
-        t0 = time.perf_counter()
+        dense_rates = []
         for _ in range(REPS):
+            t0 = time.perf_counter()
             _, cd = run_dense()
-        force(cd)
-        dense_bps = nd * K_BPE * REPS / (time.perf_counter() - t0)
-        log(f"packed-dense (50k rules): {dense_bps/1e9:.2f} GB/s")
+            force(cd)
+            dense_rates.append(nd * K_BPE / (time.perf_counter() - t0))
+        dense_stats = rate_stats(dense_rates)
+        dense_bps = dense_stats["median"]
+        extras["packed_dense_rate_stats"] = dense_stats
+        log(f"packed-dense (50k rules): {dense_bps/1e9:.2f} GB/s "
+            f"(IQR {dense_stats['iqr']/1e9:.2f})")
 
         # multipass token kernel (hierarchical table) vs the host oracle
         from blt_tpu.ops.bpe_numpy import bpe_encode_multipass
@@ -330,14 +361,18 @@ def main() -> None:
             bufm_d, jnp.int32(chunk.shape[0]), hp,
             enc_tok.k1, enc_tok.v1, enc_tok.k2, enc_tok.v2, **args_mp)
         jax.block_until_ready((o, m))
-        t0 = time.perf_counter()
-        for _ in range(3):
+        mp_rates = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
             o, m = _multipass_resident_call(
                 bufm_d, jnp.int32(chunk.shape[0]), hp,
                 enc_tok.k1, enc_tok.v1, enc_tok.k2, enc_tok.v2, **args_mp)
-        jax.block_until_ready((o, m))
-        mp_bps = chunk.shape[0] * 3 / (time.perf_counter() - t0)
+            jax.block_until_ready((o, m))
+            mp_rates.append(chunk.shape[0] / (time.perf_counter() - t0))
+        mp_stats = rate_stats(mp_rates)
+        mp_bps = mp_stats["median"]
         extras["multipass_resident_bytes_per_sec"] = mp_bps
+        extras["multipass_resident_rate_stats"] = mp_stats
         log(f"multipass device-resident (hierarchical, 8MB): "
             f"{mp_bps/1e6:.1f} MB/s")
 
@@ -371,6 +406,51 @@ def main() -> None:
         log(f"exact_full[xla_multipass] (1MB): {okxm}")
         exact_full["xla_multipass"] = okxm
 
+        # --- halo-sharded engine adversarial leg ON HARDWARE: corpora
+        # biased to >=HALO all-match runs straddling slab/batch boundaries,
+        # so the degenerate XLA fallback and the packed<->XLA emission
+        # bridges (engines._bpe_flat_halo_stream) run compiled, not just
+        # in interpret mode. A 1-device mesh exercises the identical code
+        # path (slab sequencing, halo_converges routing, carry bridging).
+        from blt_tpu.ops.bpe_pallas import ShardedFlatEncoder
+        from blt_tpu.parallel.mesh import make_mesh
+        from blt_tpu.pipeline.engines import ShardedJaxEngine
+
+        mesh1 = make_mesh(jax.devices()[:1])
+        eng_h = ShardedJaxEngine(mesh=mesh1)
+        cap_h = 256 * 1024
+        # self-pair rule (97,97): a run of 'a's is an unbroken all-match
+        # region of any length — the degenerate case for halo convergence
+        table_h = MergeTable.build(
+            {(97, 97): 256, (97, 98): 257, (98, 99): 258, (32, 97): 259}
+        )
+        enc_h = ShardedFlatEncoder(table_h, mesh1, capacity_bytes=cap_h,
+                                   rows_per_block=BPE_RPB)
+        hint_h = enc_h.payload * enc_h.n_rows
+        rngh = np.random.default_rng(7)
+        pieces = []
+        for i in range(6):
+            pieces.append(make_corpus(rngh, hint_h // 2))
+            # >=HALO all-match runs with varying parity -> pending carries
+            # straddling slab AND batch boundaries
+            pieces.append(
+                np.full(4 * enc_h.HALO + (i % 3), 97, np.uint8)
+            )
+        adv = np.concatenate(pieces)
+        chunks_h = [adv[i : i + hint_h] for i in range(0, adv.shape[0], hint_h)]
+        wire_h = b"".join(
+            bytes(x)
+            for x in eng_h._bpe_flat_halo_stream(
+                iter(chunks_h), table_h, enc_h, hint_h
+            )
+        )
+        exp_h = bpe_encode_flat(adv, table_h)
+        got_h = np.frombuffer(wire_h, ">u2").astype(np.int64)
+        okh = got_h.tolist() == exp_h.tolist()
+        log(f"exact_full[halo_adversarial] ({adv.size} bytes, "
+            f"{len(chunks_h)} batches): {okh}")
+        exact_full["halo_adversarial"] = okh
+
         # --- end-to-end file->file through the real pipeline (device engine)
         # + the interconnect roofline that bounds it on this machine ---
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -395,22 +475,26 @@ def main() -> None:
             from blt_tpu.pipeline import feeder as _feeder
 
             for mode in ("basic", "bpe"):
-                # first run = compile + warm-up; then best-of-2 steady
-                # state (the tunnel's bandwidth swings minute to minute —
-                # a single warm sample can under-read 2-3x)
+                # first run = compile + warm-up; then E2E_REPS steady-state
+                # reps timed individually (the tunnel's bandwidth swings
+                # minute to minute — a single warm sample can under-read
+                # 2-3x; the median + recorded dispersion make run-to-run
+                # comparisons trustworthy)
                 _feeder.stage_stats(reset=True)
                 dt_first = run_once(ip, op, mode, Engine.JAX, mp)
-                _feeder.stage_stats(reset=True)
-                dt = run_once(ip, op, mode, Engine.JAX, mp)
-                occupancy = _feeder.stage_stats(reset=True)
-                dt2 = run_once(ip, op, mode, Engine.JAX, mp)
-                if dt2 < dt:
-                    dt = dt2
-                    occupancy = _feeder.stage_stats(reset=True)
-                else:
+                dts, occs = [], []
+                for _ in range(E2E_REPS):
                     _feeder.stage_stats(reset=True)
-                rate = size / dt
+                    dts.append(run_once(ip, op, mode, Engine.JAX, mp))
+                    occs.append(_feeder.stage_stats(reset=True))
+                stats = rate_stats([size / d for d in dts])
+                rate = stats["median"]
+                dt = size / rate
+                # occupancy of the median rep (stall attribution should
+                # describe the quoted number, not the best or worst rep)
+                occupancy = occs[dts.index(sorted(dts)[len(dts) // 2])]
                 e2e[f"{mode}_100mb_bytes_per_sec"] = rate
+                e2e[f"{mode}_100mb_rate_stats"] = stats
                 e2e[f"{mode}_100mb_first_run_bytes_per_sec"] = size / dt_first
                 e2e[f"{mode}_100mb_compile_overhead_s"] = dt_first - dt
                 e2e[f"{mode}_stage_occupancy"] = occupancy
@@ -444,12 +528,14 @@ def main() -> None:
             n10 = 10 * 1024 * 1024
             make_file(ip10, n10)
             dt10_first = run_once(ip10, op, "basic", Engine.JAX, mp)
-            dt10 = min(
-                run_once(ip10, op, "basic", Engine.JAX, mp),
-                run_once(ip10, op, "basic", Engine.JAX, mp),
-            )
+            st10 = rate_stats([
+                n10 / run_once(ip10, op, "basic", Engine.JAX, mp)
+                for _ in range(REPS)
+            ])
+            dt10 = n10 / st10["median"]
             e2e["basic_10mb_first_run_bytes_per_sec"] = n10 / dt10_first
-            e2e["basic_10mb_bytes_per_sec"] = n10 / dt10
+            e2e["basic_10mb_bytes_per_sec"] = st10["median"]
+            e2e["basic_10mb_rate_stats"] = st10
             e2e["basic_10mb_compile_overhead_s"] = dt10_first - dt10
             log(
                 f"e2e basic 10MB: warm {n10/dt10/1e6:.1f} MB/s, "
@@ -460,6 +546,18 @@ def main() -> None:
         extras["packed_dense_50k_bytes_per_sec"] = dense_bps
         extras["e2e_file_to_file"] = e2e
         extras["interconnect_roofline"] = roofline
+        # link-weather normalization: probe the roofline again AFTER the
+        # e2e runs; the drift ratio says how much of any e2e swing is the
+        # tunnel, not the pipeline (r3->r3b saw 3x h2d swings)
+        roofline_post = measure_roofline()
+        extras["interconnect_roofline_post"] = roofline_post
+        extras["link_weather_drift"] = {
+            "h2d_post_over_pre": roofline_post["h2d_bytes_per_sec"]
+            / roofline["h2d_bytes_per_sec"],
+            "d2h_post_over_pre": roofline_post["d2h_bytes_per_sec"]
+            / roofline["d2h_bytes_per_sec"],
+        }
+        log(f"link weather drift: {extras['link_weather_drift']}")
 
         # --- multi-chip scaling: recorded automatically whenever this
         # bench ever runs on real multi-chip hardware; single-chip runs
@@ -471,7 +569,7 @@ def main() -> None:
         else:
             extras["scaling"] = {
                 "skipped": "single chip",
-                "virtual_mesh_artifact": "benches/results/scaling_r3.json",
+                "virtual_mesh_artifact": "benches/results/scaling_r4.json",
             }
 
     if os.environ.get("BLT_BENCH_EXTRAS", "1") != "0":
@@ -489,7 +587,9 @@ def main() -> None:
                 "unit": "bytes/s",
                 "vs_baseline": value / REFERENCE_BASELINE_BYTES_PER_SEC,
                 "basic_bytes_per_sec": basic_bps,
+                "basic_rate_stats": basic_stats,
                 "bpe_bytes_per_sec": bpe_bps,
+                "bpe_rate_stats": bpe_stats,
                 "bpe_exact_vs_oracle_prefix": bool(exact),
                 **extras,
                 "backend": backend,

@@ -24,9 +24,10 @@ TPU-native design — communication is replaced by boundary *analysis*:
 
 Output assembly (the promise of parallel/distributed.py's docstring):
 hosts with size-deterministic output pwrite in place; BPE hosts spool
-locally, all-gather per-host token counts (one tiny collective — the
-only communication in the whole run), then pwrite the spool at
-``header + sum(counts[:h])``.
+in MEMORY up to half the memcap'd RAM (disk beyond — _Spool), all-gather
+per-host token counts (one tiny collective — the only communication in
+the whole run), then pwrite the spool at ``header + sum(counts[:h])``,
+so within budget every output byte crosses the filesystem exactly once.
 
 Launch: same CLI on every host with BLT_COORDINATOR_ADDRESS,
 BLT_NUM_PROCESSES, BLT_PROCESS_ID set (or Cloud TPU auto-bootstrap), e.g.
@@ -170,6 +171,89 @@ def _allgather_counts(local_count: int) -> np.ndarray:
     ).reshape(-1)
 
 
+class _Spool:
+    """Output spool for offset-unknown assembly: memory first, disk beyond.
+
+    BPE/decode hosts cannot know their output offset until the per-host
+    counts are all-gathered, so results accumulate until then. Up to
+    ``budget`` bytes they are held as buffer references (the engines
+    yield fresh buffers per item) and each output byte crosses the
+    filesystem ONCE at pwrite time; past the budget everything spills to
+    a temp file next to the output (the r3 behavior) and only the spilled
+    bytes are written twice. Budget derives from the --memcap contract
+    (half the capped RAM, the other half stays with the engine pipeline).
+    """
+
+    def __init__(self, out_dir: str, budget: int):
+        self.budget = budget
+        self.out_dir = out_dir
+        self.parts: list = []
+        self.bytes = 0
+        self.path: Optional[str] = None
+        self._file = None
+
+    def write(self, data) -> int:
+        nb = getattr(data, "nbytes", None) or len(data)
+        if self._file is None and self.bytes + nb > self.budget:
+            self._spill()
+        if self._file is not None:
+            self._file.write(data)
+        else:
+            self.parts.append(data)
+        self.bytes += nb
+        return nb
+
+    def _spill(self) -> None:
+        f = tempfile.NamedTemporaryFile(
+            dir=self.out_dir, prefix=".blt_spool_", delete=False
+        )
+        self.path = f.name
+        self._file = f
+        log.info(
+            "spool exceeding %d-byte memory budget; spilling to %s",
+            self.budget, self.path,
+        )
+        for part in self.parts:
+            f.write(part)
+        self.parts.clear()
+
+    def drain_to(self, fd: int, off: int) -> int:
+        """pwrite all spooled bytes at ``off``; returns bytes written."""
+        written = 0
+        if self._file is not None:
+            self._file.flush()
+            with open(self.path, "rb") as sp:
+                while True:
+                    buf = sp.read(1 << 22)
+                    if not buf:
+                        break
+                    written += _pwrite_all(fd, buf, off + written)
+        for part in self.parts:
+            written += _pwrite_all(fd, part, off + written)
+        return written
+
+    def close(self) -> None:
+        if self._file is not None:
+            try:
+                self._file.close()
+            except OSError:
+                pass
+        if self.path is not None:
+            try:
+                os.unlink(self.path)
+            except OSError:
+                pass
+        self.parts.clear()
+
+
+def _spool_budget(config: CoreConfig) -> int:
+    """Memory the spool may hold before spilling: half the memcap'd RAM."""
+    from blt_tpu.utils.sysinfo import total_memory_bytes
+
+    ram = total_memory_bytes()
+    return max(64 << 20, int(ram * config.mem_cap_percent / 100) // 2)
+
+
 def _pwrite_all(fd: int, buf, off: int) -> int:
     """pwrite the WHOLE buffer at off (a short kernel write would silently
     shift every following byte of this host's region); returns bytes written."""
@@ -228,44 +312,30 @@ def _run_decode_distributed(
     feed = max(dist_chunk_size(config) & ~1, 2)
 
     fd = os.open(config.output, os.O_WRONLY | os.O_CREAT, 0o644)
-    spool_path = None
+    spool = _Spool(
+        os.path.dirname(os.path.abspath(config.output)) or ".",
+        _spool_budget(config),
+    )
     try:
-        with tempfile.NamedTemporaryFile(
-            dir=os.path.dirname(os.path.abspath(config.output)) or ".",
-            prefix=".blt_spool_",
-            delete=False,
-        ) as spool:
-            spool_path = spool.name
-            local_count = 0
-            for start in range(lo, hi, feed):
-                out = decode_wire(
-                    mm[start : min(start + feed, hi)], table,
-                    config.num_threads,
-                )
-                spool.write(out)
-                local_count += out.nbytes
+        local_count = 0
+        for start in range(lo, hi, feed):
+            out = decode_wire(
+                mm[start : min(start + feed, hi)], table,
+                config.num_threads,
+            )
+            local_count += spool.write(out)
         counts = (
             _allgather_counts(local_count)
             if nproc > 1
             else np.array([local_count], np.int64)
         )
-        off = int(counts[:pid].sum())
-        with open(spool_path, "rb") as sp:
-            while True:
-                buf = sp.read(1 << 22)
-                if not buf:
-                    break
-                off += _pwrite_all(fd, buf, off)
+        spool.drain_to(fd, int(counts[:pid].sum()))
         if pid == 0:
             os.ftruncate(fd, int(counts.sum()))
     finally:
         # a decode failure mid-spool must not leak the temp file
         # (the shared output is left to the surviving ranks)
-        if spool_path is not None:
-            try:
-                os.unlink(spool_path)
-            except OSError:
-                pass
+        spool.close()
         os.close(fd)
 
     if nproc > 1:
@@ -356,41 +426,27 @@ def run_tokenizer_distributed(config: CoreConfig) -> None:
             # (the end-of-run sync below is the only barrier)
             total_out = len(header) + factor * total
         else:
-            # BPE: spool locally, then place at the all-gathered offset
-            spool_path = None
+            # BPE: spool (memory-first), then place at the all-gathered
+            # offset — within budget every output byte hits the disk once
+            spool = _Spool(
+                os.path.dirname(os.path.abspath(config.output)) or ".",
+                _spool_budget(config),
+            )
             try:
-                with tempfile.NamedTemporaryFile(
-                    dir=os.path.dirname(os.path.abspath(config.output)) or ".",
-                    prefix=".blt_spool_",
-                    delete=False,
-                ) as spool:
-                    spool_path = spool.name
-                    local_count = 0
-                    for data in results:
-                        spool.write(data)
-                        # engines may yield ndarray/memoryview buffers whose
-                        # len() counts elements, not bytes
-                        local_count += getattr(data, "nbytes", None) or len(data)
+                local_count = 0
+                for data in results:
+                    local_count += spool.write(data)
                 counts = (
                     _allgather_counts(local_count)
                     if nproc > 1
                     else np.array([local_count], np.int64)
                 )
                 off = len(header) + int(counts[:pid].sum())
-                with open(spool_path, "rb") as sp:
-                    while True:
-                        buf = sp.read(1 << 22)
-                        if not buf:
-                            break
-                        off += _pwrite_all(fd, buf, off)
+                spool.drain_to(fd, off)
                 total_out = len(header) + int(counts.sum())
             finally:
                 # an encode failure mid-spool must not leak the temp file
-                if spool_path is not None:
-                    try:
-                        os.unlink(spool_path)
-                    except OSError:
-                        pass
+                spool.close()
         if pid == 0:
             if header:
                 os.pwrite(fd, header, 0)

@@ -135,6 +135,28 @@ def sharded_flat_encode(
 
 
 @jax.jit
+def sharded_flat_encode_rowlocal(
+    batch: jnp.ndarray, lengths: jnp.ndarray, dense: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row INDEPENDENT flat encode: no carry composition, no halo
+    exchange, no collectives — deliberately NOT exact at row boundaries.
+
+    Exists solely as the scaling benchmark's decomposition control: it
+    runs the same per-row compute as sharded_flat_encode minus the
+    associative carry scan and the next-byte shuffle, so the measured
+    gap between the two isolates the partitioner/collective cost of the
+    exact version (benches/scaling_benchmark.py --decompose).
+    """
+    t, pv, match, lnm, _, _ = jax.vmap(_row_phase1, in_axes=(0, 0, 0, None))(
+        batch, lengths, jnp.full_like(lengths, -1), dense
+    )
+    tokens, counts = jax.vmap(_row_phase2)(
+        t, pv, match, lnm, lengths, jnp.zeros_like(lengths, jnp.bool_)
+    )
+    return tokens, counts
+
+
+@jax.jit
 def sharded_basic_encode(batch: jnp.ndarray) -> jnp.ndarray:
     """uint8[B, N] -> uint16[B, N] widen; LE memory image is the u16-BE
     wire stream (embarrassingly parallel)."""

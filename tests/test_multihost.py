@@ -104,6 +104,40 @@ def test_single_process_distributed_runner_matches(tmp_path):
     assert op1.read_bytes() == op2.read_bytes()
 
 
+def test_spool_spills_to_disk_beyond_budget(tmp_path, monkeypatch):
+    """A tiny spool budget forces the memory-first spool to spill to a
+    temp file mid-run; output stays byte-identical and nothing leaks."""
+    from blt_tpu.pipeline.runner import run_tokenizer
+
+    spills = []
+    real_spill = multihost._Spool._spill
+
+    def spy(self):
+        spills.append(self.bytes)
+        return real_spill(self)
+
+    monkeypatch.setattr(multihost, "_spool_budget", lambda cfg: 10_000)
+    monkeypatch.setattr(multihost._Spool, "_spill", spy)
+    rng = np.random.default_rng(6)
+    data = rng.choice(np.frombuffer(b"abcab c", np.uint8), size=300_000)
+    ip = tmp_path / "in.bin"
+    op1 = tmp_path / "out_dist.bin"
+    op2 = tmp_path / "out_ref.bin"
+    mp = tmp_path / "m.txt"
+    ip.write_bytes(data.tobytes())
+    mp.write_text("".join(f"{a} {b}\n" for a, b in MERGES))
+
+    multihost.run_tokenizer_distributed(CoreConfig.new_from_cli(
+        input=ip, output=op1, merges=mp, engine=Engine.NUMPY
+    ))
+    run_tokenizer(CoreConfig.new_from_cli(
+        input=ip, output=op2, merges=mp, engine=Engine.NUMPY
+    ))
+    assert op1.read_bytes() == op2.read_bytes()
+    assert spills  # the budget actually forced a spill
+    assert not list(tmp_path.glob(".blt_spool_*"))
+
+
 def test_single_process_distributed_decode(tmp_path):
     """nproc=1 decode: token-aligned assembly, stale-output truncate,
     and the full error surface without spool leakage."""
