@@ -408,9 +408,25 @@ size_t blt_unpack_slots(const uint8_t* packed, const uint8_t* flags,
   };
   threads = clamp_threads(threads, n, 1 << 20);
   // ranges sized in multiples of 8 positions; the global start offset may
-  // still be unaligned, so both passes handle ragged heads/tails
+  // still be unaligned, so both passes handle ragged heads/tails. The
+  // split is computed ONCE here and dispatched explicitly — parallel_for
+  // derives its own (unaligned) split from n, which would disagree with
+  // this 8-aligned one and race ranges onto the same output pointer.
   size_t per = (((n + threads - 1) / threads) + 7) & ~(size_t)7;
   int active = (int)((n + per - 1) / per);
+  auto dispatch_ranges = [&](void (*fn)(size_t, size_t, void*), void* ctx) {
+    if (active <= 1) {
+      fn(0, n, ctx);
+      return;
+    }
+    std::vector<std::thread> pool;
+    for (int t = 0; t < active; ++t) {
+      size_t lo = (size_t)t * per;
+      size_t hi = lo + per < n ? lo + per : n;
+      pool.emplace_back(fn, lo, hi, ctx);
+    }
+    for (auto& th : pool) th.join();
+  };
   std::vector<size_t> counts(active, 0);
   // pass 1: flagged-bit count per range (output size = 2*len - flagged)
   struct CountCtx {
@@ -419,8 +435,7 @@ size_t blt_unpack_slots(const uint8_t* packed, const uint8_t* flags,
     size_t per;
     size_t start;
   } cctx{flags, counts.data(), per, start};
-  parallel_for(
-      active, n,
+  dispatch_ranges(
       [](size_t lo, size_t hi, void* p) {
         auto* c = (CountCtx*)p;
         int t = (int)(lo / c->per);
@@ -444,8 +459,7 @@ size_t blt_unpack_slots(const uint8_t* packed, const uint8_t* flags,
   }
   Ctx ctx{packed, flags, starts.data(), per, start};
   // pass 2: expand each range at its resolved offset
-  parallel_for(
-      active, n,
+  dispatch_ranges(
       [](size_t lo, size_t hi, void* p) {
         auto* c = (Ctx*)p;
         int t = (int)(lo / c->per);

@@ -122,6 +122,19 @@ def run_tokenizer(config: CoreConfig) -> None:
                 src.size, effective_chunk_size, _device_batch_bytes()
             )
 
+        if os.environ.get("BLT_WARMUP", "0") == "1" and isinstance(
+            engine, JaxEngine
+        ):
+            from blt_tpu.warmup import warm_for_run
+
+            warm_for_run(
+                mode,
+                config.table() if mode == Mode.BPE else None,
+                feed_size,
+                _device_batch_bytes(),
+                config.num_threads,
+            )
+
         chunks = src.chunks(feed_size)
         if mode == Mode.PASSTHROUGH:
             results = engine.passthrough_stream(chunks, feed_size)

@@ -1,0 +1,107 @@
+"""Device-kernel pre-compilation (BLT_WARMUP=1).
+
+Every distinct encoder capacity is a distinct Mosaic/XLA compile; through
+a tunneled TPU a cold shape costs ~10s at first dispatch (BENCH_r03
+``basic_10mb_compile_overhead_s``). The persistent compilation cache
+(utils/compcache.py) already makes any PREVIOUSLY seen shape start in
+<1s in every later process; this module closes the remaining gap by
+compiling the standard shapes ahead of use:
+
+- the power-of-two serving buckets (engines.device_capacity_hint grid,
+  floor..device batch bytes) used by the HTTP server and in-memory API;
+- the run's own equalized-batch shape (runner._plan_feed_size).
+
+Enabled via BLT_WARMUP=1 for CLI runs (the runner calls warm_for_run
+before streaming) or the server's ``--warmup SIZE`` flag; both populate
+the shared persistent cache, so warming once benefits every process on
+the machine.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import numpy as np
+
+from blt_tpu.utils.logging import get_logger
+
+log = get_logger("warmup")
+
+
+def pow2_buckets(max_bytes: int) -> list:
+    from blt_tpu.pipeline.engines import DEVICE_HINT_FLOOR
+
+    out = []
+    size = DEVICE_HINT_FLOOR
+    while size <= max(max_bytes, DEVICE_HINT_FLOOR):
+        out.append(size)
+        size <<= 1
+    return out
+
+
+def warm_shapes(
+    mode,
+    table,
+    capacities: Iterable[int],
+    threads: int = 0,
+) -> int:
+    """Compile the device kernels (encode + packed-D2H post-pass) for each
+    capacity; returns how many encoder shapes were touched. No-op off-TPU
+    (compiles there are cheap and backend-specific)."""
+    import jax
+    import jax.numpy as jnp
+
+    from blt_tpu.config import Mode
+    from blt_tpu.ops.bpe_pallas import (
+        PallasBasicEncoder,
+        PallasFlatEncoder,
+        pack_slots_device,
+    )
+
+    if jax.default_backend() != "tpu":
+        return 0
+    probe = np.zeros(64, np.uint8)
+    warmed = 0
+    for cap in sorted(set(int(c) for c in capacities if c > 0)):
+        if mode == Mode.BASIC:
+            enc = PallasBasicEncoder(cap)
+            out, _ = enc.encode(probe)
+            jax.block_until_ready(out)
+        elif mode == Mode.BPE and table is not None and table.flat:
+            if not PallasFlatEncoder.supports(table):
+                return warmed
+            enc = PallasFlatEncoder(table, capacity_bytes=cap)
+            slots, _, carry = enc.encode(probe, False, -1)
+            # enc.capacity (block-rounded) is the exact shape the pipeline
+            # packs with (engines._bpe_pallas_stream)
+            packed, flags, _ = pack_slots_device(
+                slots, jnp.int32(probe.size), jnp.int32(0),
+                capacity=enc.capacity,
+            )
+            jax.block_until_ready((packed, flags, carry))
+        else:
+            return warmed  # passthrough / non-flat: nothing device-compiled
+        warmed += 1
+        log.info("warmup: compiled %s kernels for %d-byte capacity",
+                 mode.value, cap)
+    return warmed
+
+
+def warm_for_run(
+    mode,
+    table,
+    feed_size: int,
+    max_bucket: int,
+    threads: int = 0,
+) -> Optional[int]:
+    """BLT_WARMUP=1 entry: the run's planned shape first (it gates the
+    first batch), then the standard pow2 buckets into the persistent
+    cache. Failures only log — warming must never break a run."""
+    try:
+        from blt_tpu.utils.chunking import align_up
+
+        shapes = [align_up(feed_size)] + pow2_buckets(max_bucket)
+        return warm_shapes(mode, table, shapes, threads)
+    except Exception as e:  # pragma: no cover - defensive
+        log.warning("warmup failed (%s); continuing uncached", e)
+        return None

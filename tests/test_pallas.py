@@ -531,14 +531,17 @@ def test_unpack_slots_native_vs_numpy_fuzz():
     if not native.available():
         pytest.skip("native library unavailable")
     rng = np.random.default_rng(7)
-    for n in (1, 7, 8, 9, 255, 4096, 100003):
+    # sizes above 2<<20 actually engage multiple native threads
+    # (clamp_threads floors at 1MB/thread) — the r4 range-split race
+    # lived only there
+    for n in (1, 7, 8, 9, 255, 4096, 100003, (2 << 20) + 11, (5 << 20) + 3):
         packed = rng.integers(0, 256, n).astype(np.uint8)
         nf = (n + 7) // 8
         for density in (0.0, 0.1, 0.9):
             bits = (rng.random(nf * 8) < density).astype(np.uint8)
             flags = np.packbits(bits, bitorder="little")
             a = unpack_slots_host(packed, flags, n).tobytes()
-            for threads in (1, 3):
+            for threads in (1, 2, 3):
                 b = bytes(native.unpack_slots(packed, flags, n, threads))
                 assert a == b, (n, density, threads)
 

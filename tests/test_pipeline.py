@@ -441,3 +441,29 @@ def test_plan_feed_size_equalizes_batches():
     # unknown size (stdin): fall back to max(chunk, dev)
     assert _plan_feed_size(None, 4 * mb, 16 * mb) == 16 * mb
     assert _plan_feed_size(0, 32 * mb, 16 * mb) == 32 * mb
+
+
+def test_warmup_module_and_env_hook(tmp_path, monkeypatch):
+    """BLT_WARMUP wiring: the bucket grid is the serving grid, warm_shapes
+    is a no-op off-TPU (compiles are cheap there), and a run with the env
+    set completes byte-identically."""
+    from blt_tpu.config import CoreConfig, Engine, Mode
+    from blt_tpu.pipeline.runner import run_tokenizer
+    from blt_tpu.warmup import pow2_buckets, warm_for_run, warm_shapes
+
+    assert pow2_buckets(16 * 1024 * 1024)[0] == 64 * 1024
+    assert pow2_buckets(16 * 1024 * 1024)[-1] == 16 * 1024 * 1024
+    assert len(pow2_buckets(16 * 1024 * 1024)) == 9
+    # off-TPU: no shapes touched, never raises
+    assert warm_shapes(Mode.BASIC, None, [1 << 20]) == 0
+    assert warm_for_run(Mode.BASIC, None, 1 << 20, 16 << 20) == 0
+
+    monkeypatch.setenv("BLT_WARMUP", "1")
+    ip = tmp_path / "in.bin"
+    op = tmp_path / "out.bin"
+    ip.write_bytes(b"hello warm")
+    run_tokenizer(CoreConfig.new_from_cli(
+        input=ip, output=op, engine=Engine.JAX
+    ))
+    expected = b"".join(bytes([0, c]) for c in b"hello warm")
+    assert op.read_bytes() == expected
