@@ -105,6 +105,55 @@ def _variant_body(variant):
         carry_in = jnp.where(i == 0, carry_call, carry_ref[0])
         if variant == "noscan":
             starts = m & ((gidx & 1) == 1)
+        elif variant == "swarpack":
+            # VERDICT r3 item 3 probe: phase-1 intra-row scans of TWO rows
+            # packed per i32 vector (16-bit fields) — halves roll volume,
+            # but the per-field max must be SWAR-synthesized (~9 int ops:
+            # guard-or, sub, mask-and, shift, sub, or, 3-op select) since
+            # the VPU has no packed-lane max, and the packed result must be
+            # re-interleaved to the row layout afterwards (stood in here by
+            # a concatenate, which LOWER-bounds the real strided shuffle).
+            # Semantics deliberately approximate; cost structure preserved.
+            z = jnp.where(m, _NEG, gidx)
+            # per-row lane codes (9 bits): (lane+1)*2 | parity; 0 = none
+            code = jnp.where(m, 0, (lane_iota + 1) * 2 + (gidx & 1))
+            ze = code[0::2, :]  # (R/2,128): sublane stride 2
+            zo = code[1::2, :]
+            packed = (ze & 0x7FFF) | (zo << 16)
+            lane_half = jax.lax.broadcasted_iota(
+                jnp.int32, (r // 2, LANES), 1
+            )
+            guard = jnp.int32(-2147450880)  # 0x80008000
+            s = packed
+            sh = 1
+            while sh < LANES:
+                rolled = pltpu.roll(s, sh, axis=1)
+                cand = jnp.where(lane_half >= sh, rolled, 0)
+                g = ((s | guard) - cand) & guard  # per-field s>=cand bits
+                msk = (g - (g >> 15)) | g  # expand to full-field masks
+                s = (s & msk) | (cand & ~msk)
+                sh *= 2
+            se = s & 0xFFFF
+            so = (s >> 16) & 0xFFFF
+            interleaved = jnp.concatenate([se, so], axis=0)  # (R,128)
+            in_row = interleaved > 0
+            row_last = jnp.max(z, axis=1, keepdims=True)
+            row_iota1 = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+            excl = jnp.where(
+                row_iota1 == 0, _NEG, pltpu.roll(row_last, 1, axis=0)
+            )
+            sh = 1
+            while sh < r:
+                rolled = pltpu.roll(excl, sh, axis=0)
+                excl = jnp.maximum(
+                    excl, jnp.where(row_iota1 >= sh, rolled, _NEG)
+                )
+                sh *= 2
+            lz_par = jnp.where(
+                in_row, interleaved & 1,
+                jnp.broadcast_to(excl & 1, (r, LANES)),
+            )
+            starts = m & (((gidx & 1) ^ lz_par) == 1)
         elif variant == "scan16":
             # phase-1 intra-row scan in int16: encode the last non-match's
             # (lane, parity) as lane*2+gidx&1 (< 256, fits i16); phase 2
