@@ -12,6 +12,15 @@ price each stage:
   nolookup : CHD gather chain replaced by a 2-op mask function
   noshifts : nxt/consumed linear shifts replaced by in-register rolls
   scan16   : phase-1 intra-row scan carried in int16 lanes (2x packing probe)
+  swarpack : two rows' intra-row scans packed per i32 (16-bit fields,
+             SWAR max) — VERDICT r3 item 3 probe
+
+Verdicts recorded in benches/results/flat_ablation_r4.json: full 19.36,
+noscan ceiling 30.67 GB/s; swarpack FAILS TO LOWER (strided sublane
+reads rejected at trace; reshape-regroup crashes the Mosaic compile
+helper) and would lose anyway (SWAR per-field max ~9 int ops vs 1
+native max = ~2x more work at half volume); scan16 remains blocked by
+the 16-bit pltpu.roll crash (tools/exp_16bit.py, r3).
 
 Run on the real chip: python tools/exp_scan.py
 """
