@@ -1316,12 +1316,17 @@ class ShardedTokenEncoder:
         def per_shard(ns, bufs, hp, k1, v1, k2, v2):
             # local shapes: ns (1,), bufs (1, total); each device runs its
             # own repeat-until-done loop (no collectives inside, so
-            # divergent trip counts across devices are fine)
+            # divergent trip counts across devices are fine). Tokens leave
+            # the device as byteswapped u16 (LE image == u16-BE wire),
+            # halving D2H vs the int32 array.
             toks, m = _multipass_resident_call(
                 bufs[0], ns[0], hp, k1, v1, k2, v2,
                 capacity=capacity, interpret=interpret, rows_per_block=rpb,
             )
-            return toks[None], m[None]
+            be = (((toks & 0xFF) << 8) | ((toks >> 8) & 0xFF)).astype(
+                jnp.uint16
+            )
+            return be[None], m[None]
 
         row = P(DATA_AXIS)
         row2 = P(DATA_AXIS, None)
@@ -1330,10 +1335,11 @@ class ShardedTokenEncoder:
             per_shard, (row, row2, rep, rep, rep, rep, rep), (row2, row)
         )
 
-    def encode_batch_resident(self, chunks: list) -> list:
+    def encode_batch_resident_wire(self, chunks: list) -> list:
         """Full multipass of up to n_rows chunks, one device-resident
         repeat-until-done loop per device (no per-round host compaction:
-        one H2D + one D2H for the whole batch)."""
+        one H2D + one D2H for the whole batch). Returns byteswapped-u16
+        rows whose LE memory image is the u16-BE wire stream."""
         enc = self._single
         b = self.n_rows
         assert len(chunks) <= b, (len(chunks), b)
@@ -1356,14 +1362,22 @@ class ShardedTokenEncoder:
             jax.device_put(batch, row_sharding(self.mesh)),
             hp, enc.k1, enc.v1, enc.k2, enc.v2,
         )
-        toks_h = np.asarray(toks_d)
+        be_h = np.asarray(toks_d)
         m_h = np.asarray(m_d)
         # the loop runs once even for 0/1-token rows, where the pass is an
         # identity (no pair has gidx < length-1), so m_h[r] == ns[r] there;
         # copies, not views — a view would pin the whole (b, capacity) host
         # buffer for the lifetime of a few short token arrays
         return [
-            toks_h[r, : int(m_h[r])].copy() for r in range(len(chunks))
+            be_h[r, : int(m_h[r])].copy() for r in range(len(chunks))
+        ]
+
+    def encode_batch_resident(self, chunks: list) -> list:
+        """Full multipass of up to n_rows chunks -> int32 token arrays
+        (the wire variant is what the engine drains; this unswaps it)."""
+        return [
+            (be.astype(np.int32) >> 8) | ((be.astype(np.int32) & 0xFF) << 8)
+            for be in self.encode_batch_resident_wire(chunks)
         ]
 
 

@@ -453,23 +453,28 @@ class JaxEngine:
         """Device-resident multipass: the whole repeat-until-done loop runs
         on device (lax.while_loop around the token-pass kernel, stable-sort
         compaction between rounds — bpe_pallas._multipass_resident_call),
-        one H2D + one D2H per chunk. ``depth`` chunks stay in flight so the
+        one H2D + one D2H per chunk. Tokens convert to byteswapped u16 on
+        device before transfer (the LE image is the wire), halving the D2H
+        volume vs the int32 array. ``depth`` chunks stay in flight so the
         D2H of one overlaps the passes of the next. Per-chunk semantics
         (general tables match the reference's chunk-dependent output,
         SURVEY.md 2.1.6)."""
+        from blt_tpu.ops import bpe_jax
         from blt_tpu.ops.bpe_pallas import PallasTokenEncoder
 
         enc = PallasTokenEncoder(table, capacity_tokens=align_up(chunk_hint))
         pending = collections.deque()
 
         def drain() -> bytes:
-            toks_d, m_d = pending.popleft()
-            return np.asarray(toks_d)[: int(m_d)].astype(">u2")
+            be_d, m_d = pending.popleft()
+            # uint16 LE image == u16-BE wire stream
+            return np.asarray(be_d)[: int(m_d)]
 
         for chunk in chunks:
             if chunk.shape[0] == 0:
                 continue
-            pending.append(enc.encode_resident_dispatch(chunk))
+            toks_d, m_d = enc.encode_resident_dispatch(chunk)
+            pending.append((bpe_jax.tokens_to_be_bytes_device(toks_d), m_d))
             if len(pending) > self.depth:
                 yield drain()
         while pending:
@@ -947,9 +952,10 @@ class ShardedJaxEngine(JaxEngine):
             if not group:
                 return
             # one device-resident repeat-until-done loop per device: no
-            # per-round host compaction round trips
-            for toks in enc.encode_batch_resident(group):
-                yield toks.astype(">u2")
+            # per-round host compaction round trips; the wire variant
+            # transfers byteswapped u16 (half the int32 volume) whose LE
+            # image IS the u16-BE stream
+            yield from enc.encode_batch_resident_wire(group)
             group.clear()
 
         for chunk in chunks:
