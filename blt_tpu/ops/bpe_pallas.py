@@ -651,6 +651,29 @@ class PallasFlatEncoder:
         )
         return out, n, carry
 
+    def encode_packed_device(
+        self,
+        data3: jnp.ndarray,
+        n: int,
+        carry_in,
+        next_byte: int,
+        prev_slot: jnp.ndarray,
+    ):
+        """Kernel + packed-D2H repack in one dispatch (see
+        _flat_encode_packed). Returns (wire uint8[capacity+capacity//8],
+        carry_out, last_slot); split the wire at ``self.capacity``."""
+        assert self.capacity, "packed encode requires a fixed capacity"
+        params = self.params(n, next_byte)
+        if isinstance(carry_in, (bool, int, np.bool_, np.integer)):
+            carry_in = jnp.asarray(
+                np.array([[1 if carry_in else 0]], dtype=np.int32)
+            )
+        return _flat_encode_packed(
+            params, self.segs, carry_in, data3, self.e1, self.e2, prev_slot,
+            capacity=self.capacity, interpret=self.interpret,
+            mode=self.mode, rows_per_block=self.rows_per_block,
+        )
+
     def encode(
         self,
         data: np.ndarray,  # uint8[n]
@@ -785,17 +808,57 @@ def _pack_slots_core(s: jnp.ndarray, prev_slot: jnp.ndarray):
     return byte.astype(jnp.uint8), fbytes.astype(jnp.uint8)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("capacity", "interpret", "mode", "rows_per_block"),
+)
+def _flat_encode_packed(
+    params: jnp.ndarray,
+    segs: jnp.ndarray,
+    carry_in: jnp.ndarray,
+    data3: jnp.ndarray,
+    e1: jnp.ndarray,
+    e2: jnp.ndarray,
+    prev_slot: jnp.ndarray,
+    capacity: int,
+    interpret: bool,
+    mode: str,
+    rows_per_block: int,
+):
+    """Kernel + packed-D2H post-pass in ONE jit/dispatch.
+
+    Returns (wire uint8[capacity + capacity//8], carry_out, last_slot):
+    the wire holds the packed byte stream then the flag plane, so the
+    drain needs a single D2H transfer — on a high-latency link the
+    split (bytes, flags) transfer pair costs an extra round trip per
+    batch, which dominates small serving payloads.
+    """
+    out, carry = _flat_encode_pallas_call(
+        params, segs, carry_in, data3, e1, e2,
+        interpret=interpret, mode=mode, rows_per_block=rows_per_block,
+    )
+    s = out.reshape(-1)[:capacity].astype(jnp.int32)
+    byte, fbytes = _pack_slots_core(s, prev_slot)
+    n = params[0]
+    last = jnp.where(n > 0, s[jnp.maximum(n - 1, 0)], prev_slot)
+    return jnp.concatenate([byte, fbytes]), carry, last
+
+
 @jax.jit
 def pack_slots_batch(slots: jnp.ndarray):
     """Per-slab pack for the halo-sharded drain: (B, rows, 128) slots ->
-    (B, rows*128) bytes + (B, rows*16) flags, each slab packed
-    independently with prev_slot=0 (slab position 0 is always inside the
-    dropped halo region, so its prev never matters). vmapped elementwise
-    work — XLA partitions it over the slab axis with no collectives when
-    the input is row-sharded."""
+    (B, rows*128 + rows*16) combined wire (packed bytes then flag
+    plane, one D2H transfer per batch), each slab packed independently
+    with prev_slot=0 (slab position 0 is always inside the dropped halo
+    region, so its prev never matters). vmapped elementwise work — XLA
+    partitions it over the slab axis with no collectives when the input
+    is row-sharded."""
     b = slots.shape[0]
     s = slots.reshape(b, -1).astype(jnp.int32)
-    return jax.vmap(_pack_slots_core, in_axes=(0, None))(s, jnp.int32(0))
+    byte, fbytes = jax.vmap(_pack_slots_core, in_axes=(0, None))(
+        s, jnp.int32(0)
+    )
+    return jnp.concatenate([byte, fbytes], axis=1)
 
 
 def unpack_slots_host(

@@ -273,7 +273,6 @@ class JaxEngine:
         from blt_tpu.ops.bpe_pallas import (
             compact_slots_device,
             filter_slots,
-            pack_slots_device,
             unpack_slots_host,
         )
         from blt_tpu.pipeline.feeder import BufferPool, prefetch_iter
@@ -298,12 +297,15 @@ class JaxEngine:
                 buf = pool.get()
                 dev, n = encoder.upload(data, buf, threads)
                 pool.put(buf)
-                slots, _, carry = encoder.encode_device(dev, n, carry, next_byte)
                 if mode == "packed":
-                    packed, flags, prev_slot = pack_slots_device(
-                        slots, jnp.int32(n), prev_slot, capacity=capacity
+                    # kernel + repack in ONE dispatch, bytes+flags in ONE
+                    # combined transfer (each extra round trip costs
+                    # whole-RTT latency through a remote link)
+                    wire, carry, prev_slot = encoder.encode_packed_device(
+                        dev, n, carry, next_byte, prev_slot
                     )
-                    return packed, flags, n
+                    return wire, n
+                slots, _, carry = encoder.encode_device(dev, n, carry, next_byte)
                 if mode == "compact":
                     comp, m, prev_slot = compact_slots_device(
                         slots, jnp.int32(n), prev_slot, capacity=capacity
@@ -322,8 +324,9 @@ class JaxEngine:
 
         def d2h(items):
             if mode == "packed":
-                for packed_dev, flags_dev, n in items:
-                    yield np.asarray(packed_dev), np.asarray(flags_dev), n
+                for wire_dev, n in items:
+                    w = np.asarray(wire_dev)
+                    yield w[:capacity], w[capacity:], n
                 return
             if mode == "compact":
                 for comp_dev, m_dev in items:
@@ -758,8 +761,8 @@ class ShardedJaxEngine(JaxEngine):
                         else np.concatenate([tail, data])[-H:]
                     )
                     if packed_mode:
-                        pk, fl = pack_slots_batch(slots)
-                        return ("p", pk, fl, metas, skip_first)
+                        return ("p", pack_slots_batch(slots), metas,
+                                skip_first)
                     return ("ps", slots, metas)
                 # degenerate halo: exact XLA carry-composition fallback
                 if dense_d is None:
@@ -794,11 +797,17 @@ class ShardedJaxEngine(JaxEngine):
             if prev is not None:
                 yield dispatch(prev, -1)
 
+        # combined per-slab wire layout: packed bytes then flag plane
+        # (pack_slots_batch); split offset = the flattened slot count per
+        # slab (the kernel output excludes the 8 halo rows: capacity, not
+        # padded_bytes)
+        slab_len = enc.capacity
+
         def d2h(items):
             for item in items:
                 if item[0] == "p":
-                    _, pk, fl, metas, skip_first = item
-                    yield "p", np.asarray(pk), np.asarray(fl), metas, skip_first
+                    _, wire_dev, metas, skip_first = item
+                    yield "p", np.asarray(wire_dev), metas, skip_first
                 elif item[0] == "ps":
                     _, slots_dev, metas = item
                     yield "ps", np.asarray(slots_dev), metas
@@ -811,7 +820,7 @@ class ShardedJaxEngine(JaxEngine):
         def drain(items):
             for item in items:
                 if item[0] == "p":
-                    _, packed_h, flags_h, metas, skip_first = item
+                    _, wire_h, metas, skip_first = item
                     for r, (hl, pl) in enumerate(metas):
                         if pl == 0:
                             continue
@@ -820,13 +829,15 @@ class ShardedJaxEngine(JaxEngine):
                             start, cnt = hl + 1, pl - 1
                         if cnt == 0:
                             continue
+                        packed_h = wire_h[r, :slab_len]
+                        flags_h = wire_h[r, slab_len:]
                         if use_native:
                             yield native.unpack_slots(
-                                packed_h[r], flags_h[r], cnt, threads, start
+                                packed_h, flags_h, cnt, threads, start
                             )
                         else:
                             yield unpack_slots_host(
-                                packed_h[r], flags_h[r], cnt, start
+                                packed_h, flags_h, cnt, start
                             )
                 elif item[0] == "ps":
                     _, slots_h, metas = item  # (D, rows, 128)
