@@ -546,6 +546,45 @@ def test_unpack_slots_native_vs_numpy_fuzz():
                 assert a == b, (n, density, threads)
 
 
+def test_encode_packed_device_matches_separate_pack():
+    """The fused kernel+repack dispatch (encode_packed_device) must equal
+    encode_device followed by pack_slots_device, including the carry and
+    last-slot threading across batches."""
+    import jax.numpy as jnp
+
+    from blt_tpu.ops.bpe_pallas import pack_slots_device
+
+    t = MergeTable.build({(97, 98): 256, (98, 99): 257, (32, 97): 258})
+    enc = PallasFlatEncoder(t, interpret=True, capacity_bytes=BLOCK)
+    cap = enc.capacity
+    rng = np.random.default_rng(41)
+    pieces = [
+        rng.choice(np.frombuffer(b"abc ab x", np.uint8), size=s)
+        for s in (BLOCK, BLOCK - 321, 77)
+    ]
+    buf = np.empty(enc.padded_bytes, np.uint8)
+
+    carry_a = False
+    prev_a = jnp.int32(0)
+    carry_b = False
+    prev_b = jnp.int32(0)
+    for j, piece in enumerate(pieces):
+        nb = int(pieces[j + 1][0]) if j + 1 < len(pieces) else -1
+        dev, n = enc.upload(piece, buf)
+        wire, carry_a, prev_a = enc.encode_packed_device(
+            dev, n, carry_a, nb, prev_a
+        )
+        slots, _, carry_b = enc.encode_device(dev, n, carry_b, nb)
+        packed, flags, prev_b = pack_slots_device(
+            slots, jnp.int32(n), prev_b, capacity=cap
+        )
+        w = np.asarray(wire)
+        assert w[:cap].tolist() == np.asarray(packed).tolist(), j
+        assert w[cap:].tolist() == np.asarray(flags).tolist(), j
+        assert int(np.asarray(prev_a)) == int(np.asarray(prev_b)), j
+        assert np.asarray(carry_a).tolist() == np.asarray(carry_b).tolist(), j
+
+
 def test_rows_per_block_1024_exact():
     """Encode exactness at the 1024-row block size that large-capacity
     encoders now default to (the selection logic is pinned separately in
