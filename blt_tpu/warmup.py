@@ -55,7 +55,6 @@ def warm_shapes(
     from blt_tpu.ops.bpe_pallas import (
         PallasBasicEncoder,
         PallasFlatEncoder,
-        pack_slots_device,
     )
 
     if jax.default_backend() != "tpu":
@@ -71,14 +70,16 @@ def warm_shapes(
             if not PallasFlatEncoder.supports(table):
                 return warmed
             enc = PallasFlatEncoder(table, capacity_bytes=cap)
-            slots, _, carry = enc.encode(probe, False, -1)
-            # enc.capacity (block-rounded) is the exact shape the pipeline
-            # packs with (engines._bpe_pallas_stream)
-            packed, flags, _ = pack_slots_device(
-                slots, jnp.int32(probe.size), jnp.int32(0),
-                capacity=enc.capacity,
+            # the FUSED encode+repack jit is what the pipeline dispatches
+            # (engines._bpe_pallas_stream packed mode) — warm that exact
+            # program, not its separate halves
+            rows = enc.padded_bytes // 128
+            buf = np.zeros(enc.padded_bytes, np.uint8)
+            dev = jnp.asarray(buf.reshape(rows, 128))
+            wire, carry, _ = enc.encode_packed_device(
+                dev, probe.size, False, -1, jnp.int32(0)
             )
-            jax.block_until_ready((packed, flags, carry))
+            jax.block_until_ready((wire, carry))
         else:
             return warmed  # passthrough / non-flat: nothing device-compiled
         warmed += 1
