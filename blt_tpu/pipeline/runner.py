@@ -122,9 +122,8 @@ def run_tokenizer(config: CoreConfig) -> None:
                 src.size, effective_chunk_size, _device_batch_bytes()
             )
 
-        if os.environ.get("BLT_WARMUP", "0") == "1" and isinstance(
-            engine, JaxEngine
-        ):
+        warm_env = os.environ.get("BLT_WARMUP", "0")
+        if warm_env in ("1", "full") and isinstance(engine, JaxEngine):
             from blt_tpu.warmup import warm_for_run
 
             warm_for_run(
@@ -133,6 +132,7 @@ def run_tokenizer(config: CoreConfig) -> None:
                 feed_size,
                 _device_batch_bytes(),
                 config.num_threads,
+                full=warm_env == "full",
             )
 
         chunks = src.chunks(feed_size)

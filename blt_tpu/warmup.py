@@ -94,14 +94,21 @@ def warm_for_run(
     feed_size: int,
     max_bucket: int,
     threads: int = 0,
+    full: bool = False,
 ) -> Optional[int]:
-    """BLT_WARMUP=1 entry: the run's planned shape first (it gates the
-    first batch), then the standard pow2 buckets into the persistent
-    cache. Failures only log — warming must never break a run."""
+    """BLT_WARMUP entry: pre-compile the run's planned shape (it gates
+    the first batch; BLT_WARMUP=1), and with ``full`` (BLT_WARMUP=full)
+    also the standard pow2 serving buckets into the persistent cache —
+    each UNSEEN bucket is a fresh remote Mosaic compile (minutes on a
+    tunneled TPU), so the grid is opt-in for cache-seeding runs, not the
+    per-run default. Failures only log — warming must never break a
+    run."""
     try:
         from blt_tpu.utils.chunking import align_up
 
-        shapes = [align_up(feed_size)] + pow2_buckets(max_bucket)
+        shapes = [align_up(feed_size)]
+        if full:
+            shapes += pow2_buckets(max_bucket)
         return warm_shapes(mode, table, shapes, threads)
     except Exception as e:  # pragma: no cover - defensive
         log.warning("warmup failed (%s); continuing uncached", e)

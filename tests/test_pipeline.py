@@ -454,9 +454,10 @@ def test_warmup_module_and_env_hook(tmp_path, monkeypatch):
     assert pow2_buckets(16 * 1024 * 1024)[0] == 64 * 1024
     assert pow2_buckets(16 * 1024 * 1024)[-1] == 16 * 1024 * 1024
     assert len(pow2_buckets(16 * 1024 * 1024)) == 9
-    # off-TPU: no shapes touched, never raises
+    # off-TPU: no shapes touched, never raises (full grid included)
     assert warm_shapes(Mode.BASIC, None, [1 << 20]) == 0
     assert warm_for_run(Mode.BASIC, None, 1 << 20, 16 << 20) == 0
+    assert warm_for_run(Mode.BASIC, None, 1 << 20, 16 << 20, full=True) == 0
 
     monkeypatch.setenv("BLT_WARMUP", "1")
     ip = tmp_path / "in.bin"
