@@ -730,7 +730,9 @@ def filter_slots(slots: np.ndarray, prev_token: int) -> Tuple[np.ndarray, int]:
 def compact_slots_device(
     slots: jnp.ndarray,  # (rows, 128) uint16 byteswapped slots
     n: jnp.ndarray,  # int32: valid slot count
-    prev_slot: jnp.ndarray,  # int32: last RAW slot of the previous batch
+    prev_slot: jnp.ndarray,  # int32: last slot of the previous batch
+    # (literal s[n-1]; may be a merge start, which drops this batch's
+    # first slot under the drop-after-merge rule)
     capacity: int,
 ):
     """Drop-after-merge drain + stable compaction ON DEVICE.
@@ -759,7 +761,9 @@ def compact_slots_device(
 def pack_slots_device(
     slots: jnp.ndarray,  # (rows, 128) uint16 byteswapped slots
     n: jnp.ndarray,  # int32: valid slot count
-    prev_slot: jnp.ndarray,  # int32: last RAW slot of the previous batch
+    prev_slot: jnp.ndarray,  # int32: last slot of the previous batch
+    # (may be a merge start — required for the carry-free cross-batch
+    # lo-byte emission; do NOT filter it to the last raw slot)
     capacity: int,
 ):
     """Pack kernel slots to 1 byte/position + 1 flag bit — the D2H diet.

@@ -55,7 +55,14 @@ def _flat_d2h_mode() -> str:
     if os.environ.get("BLT_DEVICE_COMPACT", "0") == "1":
         return "compact"
     mode = os.environ.get("BLT_D2H", "packed")
-    return mode if mode in ("packed", "slots", "compact") else "packed"
+    if mode not in ("packed", "slots", "compact"):
+        # a typo'd opt-out must not silently keep the default running
+        log.warning(
+            "Unknown BLT_D2H value %r (expected packed|slots|compact); "
+            "using 'packed'", mode,
+        )
+        return "packed"
+    return mode
 
 
 def device_capacity_hint(size: int, engine) -> int:
@@ -470,8 +477,11 @@ class JaxEngine:
 
         def drain() -> bytes:
             be_d, m_d = pending.popleft()
-            # uint16 LE image == u16-BE wire stream
-            return np.asarray(be_d)[: int(m_d)]
+            # uint16 LE image == u16-BE wire stream. Copy the valid slice:
+            # a view would pin the full capacity-sized transfer buffer for
+            # as long as downstream (e.g. the multihost _Spool) holds the
+            # result, breaking its nbytes-based --memcap accounting.
+            return np.asarray(be_d)[: int(m_d)].copy()
 
         for chunk in chunks:
             if chunk.shape[0] == 0:
@@ -1061,19 +1071,24 @@ class AutoStreamEngine:
     """AUTO engine for unknown-size inputs (stdin): peek, then commit.
 
     Selection is deferred until the first chunks arrive: the stream is
-    buffered until EOF or ``AUTO_DEVICE_THRESHOLD`` accumulated bytes, then
+    buffered until EOF or the peek threshold of accumulated bytes, then
     the whole stream (buffered prefix + remainder) is replayed through the
     chosen engine — small pipes stay on the NumPy engine (device dispatch
     latency dominates), large pipes tokenize on the accelerator. Because no
     engine consumes a byte before selection, semantics are identical either
-    way.
+    way. The peek buffer honors the run's --memcap budget: the threshold is
+    ``min(AUTO_DEVICE_THRESHOLD, mem_budget)``, so a small memory cap never
+    gets blown by the selection peek itself.
     """
 
     name = "auto"
 
-    def __init__(self, threads: int = 0):
+    def __init__(self, threads: int = 0, mem_budget: Optional[int] = None):
         self.threads = threads
         self.selected = None  # set on first stream; exposed for tests/logs
+        self.peek_threshold = AUTO_DEVICE_THRESHOLD
+        if mem_budget is not None and mem_budget > 0:
+            self.peek_threshold = min(AUTO_DEVICE_THRESHOLD, mem_budget)
 
     def _select(self, chunks: Iterable[np.ndarray]):
         import itertools
@@ -1084,10 +1099,10 @@ class AutoStreamEngine:
         for chunk in it:
             buffered.append(chunk)
             total += chunk.shape[0]
-            if total >= AUTO_DEVICE_THRESHOLD:
+            if total >= self.peek_threshold:
                 break
         engine = None
-        if total >= AUTO_DEVICE_THRESHOLD:
+        if total >= self.peek_threshold:
             engine = _probe_device_engine()
         if engine is None:
             engine = NumpyEngine(self.threads)
@@ -1111,12 +1126,18 @@ class AutoStreamEngine:
         yield from engine.bpe_stream(replay, table, chunk_hint)
 
 
-def select_engine(engine_pref, input_size: Optional[int], threads: int = 0):
+def select_engine(
+    engine_pref,
+    input_size: Optional[int],
+    threads: int = 0,
+    mem_budget: Optional[int] = None,
+):
     """AUTO: device engine for large inputs on an accelerator, else NumPy.
 
     Device dispatch + compile latency dominates small inputs; the NumPy
     engine is already at memory-bandwidth speed there. Unknown-size streams
-    get the peek-then-commit AutoStreamEngine.
+    get the peek-then-commit AutoStreamEngine, whose peek buffer is bounded
+    by ``mem_budget`` (the --memcap-derived byte budget) when given.
     """
     from blt_tpu.config import Engine
 
@@ -1127,7 +1148,7 @@ def select_engine(engine_pref, input_size: Optional[int], threads: int = 0):
     if engine_pref == Engine.SHARD:
         return ShardedJaxEngine(threads=threads)
     if input_size is None:
-        return AutoStreamEngine(threads)
+        return AutoStreamEngine(threads, mem_budget=mem_budget)
     if input_size < AUTO_DEVICE_THRESHOLD:
         return NumpyEngine(threads)
     engine = _probe_device_engine()

@@ -26,8 +26,17 @@ import numpy as np
 
 from blt_tpu.config import CoreConfig, Mode
 from blt_tpu.io.sources import OutputWriter, setup_io
-from blt_tpu.pipeline.engines import AutoStreamEngine, JaxEngine, select_engine
-from blt_tpu.utils.chunking import align_up, get_effective_chunk_size
+from blt_tpu.pipeline.engines import (
+    AutoStreamEngine,
+    JaxEngine,
+    ShardedJaxEngine,
+    select_engine,
+)
+from blt_tpu.utils.chunking import (
+    align_up,
+    get_effective_chunk_size,
+    mem_budget_bytes,
+)
 from blt_tpu.utils.logging import get_logger, span
 from blt_tpu.utils.profiling import maybe_profile
 
@@ -110,7 +119,12 @@ def run_tokenizer(config: CoreConfig) -> None:
                 log.info("Passthrough completed via kernel zero-copy")
                 return
 
-        engine = select_engine(config.engine, src.size, config.num_threads)
+        engine = select_engine(
+            config.engine,
+            src.size,
+            config.num_threads,
+            mem_budget=mem_budget_bytes(config.mem_cap_percent),
+        )
         log.info("Using %s strategy on %s engine", mode.value, engine.name)
 
         feed_size = effective_chunk_size
@@ -123,7 +137,13 @@ def run_tokenizer(config: CoreConfig) -> None:
             )
 
         warm_env = os.environ.get("BLT_WARMUP", "0")
-        if warm_env in ("1", "full") and isinstance(engine, JaxEngine):
+        if warm_env in ("1", "full") and isinstance(engine, ShardedJaxEngine):
+            # warm_shapes compiles the single-device programs; the sharded
+            # engine dispatches shard-mapped kernels with different shapes,
+            # so warming here would leave the first batch cold anyway
+            log.info("BLT_WARMUP: skipped (sharded engine programs are "
+                     "shard-mapped; not covered by the warmup grid)")
+        elif warm_env in ("1", "full") and isinstance(engine, JaxEngine):
             from blt_tpu.warmup import warm_for_run
 
             warm_for_run(

@@ -46,6 +46,17 @@ def get_effective_chunk_size(
     )
 
 
+def mem_budget_bytes(mem_cap_percent: int) -> int:
+    """The run's total host-memory byte budget: ``RAM * memcap%``.
+
+    The same quantity the reference's chunk planner derives its sizes from
+    (chunking.rs:33-42); used to bound every opportunistic host buffer
+    (e.g. the AUTO engine's selection peek) that is not already covered by
+    the chunk-size clamps.
+    """
+    return int(sysinfo.total_memory_bytes() * (mem_cap_percent / 100.0))
+
+
 def align_up(n: int, align: int = DEVICE_ALIGN) -> int:
     return -(-n // align) * align
 

@@ -45,9 +45,15 @@ def warm_shapes(
     capacities: Iterable[int],
     threads: int = 0,
 ) -> int:
-    """Compile the device kernels (encode + packed-D2H post-pass) for each
-    capacity; returns how many encoder shapes were touched. No-op off-TPU
-    (compiles there are cheap and backend-specific)."""
+    """Compile the device kernels for each capacity; returns how many
+    encoder shapes were touched. The flat-BPE program warmed follows the
+    run's actual D2H mode (engines._flat_d2h_mode): the fused
+    encode+repack jit for ``packed`` (the default dispatch), the plain
+    kernel for ``slots``, and kernel + device compaction for ``compact``
+    — warming a program the pipeline never dispatches would leave the
+    first batch cold. No-op off-TPU (compiles there are cheap and
+    backend-specific). Single-device programs only: the sharded engine's
+    shard-mapped kernels are skipped by warm_for_run."""
     import jax
     import jax.numpy as jnp
 
@@ -55,12 +61,15 @@ def warm_shapes(
     from blt_tpu.ops.bpe_pallas import (
         PallasBasicEncoder,
         PallasFlatEncoder,
+        compact_slots_device,
     )
+    from blt_tpu.pipeline.engines import _flat_d2h_mode
 
     if jax.default_backend() != "tpu":
         return 0
     probe = np.zeros(64, np.uint8)
     warmed = 0
+    d2h = _flat_d2h_mode()
     for cap in sorted(set(int(c) for c in capacities if c > 0)):
         if mode == Mode.BASIC:
             enc = PallasBasicEncoder(cap)
@@ -70,21 +79,33 @@ def warm_shapes(
             if not PallasFlatEncoder.supports(table):
                 return warmed
             enc = PallasFlatEncoder(table, capacity_bytes=cap)
-            # the FUSED encode+repack jit is what the pipeline dispatches
-            # (engines._bpe_pallas_stream packed mode) — warm that exact
-            # program, not its separate halves
             rows = enc.padded_bytes // 128
             buf = np.zeros(enc.padded_bytes, np.uint8)
             dev = jnp.asarray(buf.reshape(rows, 128))
-            wire, carry, _ = enc.encode_packed_device(
-                dev, probe.size, False, -1, jnp.int32(0)
-            )
-            jax.block_until_ready((wire, carry))
+            if d2h == "packed":
+                # the FUSED encode+repack jit is what the pipeline
+                # dispatches (engines._bpe_pallas_stream packed mode) —
+                # warm that exact program, not its separate halves
+                wire, carry, _ = enc.encode_packed_device(
+                    dev, probe.size, False, -1, jnp.int32(0)
+                )
+                jax.block_until_ready((wire, carry))
+            else:
+                slots, _, carry = enc.encode_device(
+                    dev, probe.size, False, -1
+                )
+                if d2h == "compact":
+                    comp, m, _ = compact_slots_device(
+                        slots, jnp.int32(probe.size), jnp.int32(0),
+                        capacity=enc.capacity,
+                    )
+                    jax.block_until_ready((comp, m))
+                jax.block_until_ready(carry)
         else:
             return warmed  # passthrough / non-flat: nothing device-compiled
         warmed += 1
-        log.info("warmup: compiled %s kernels for %d-byte capacity",
-                 mode.value, cap)
+        log.info("warmup: compiled %s kernels for %d-byte capacity (%s)",
+                 mode.value, cap, d2h)
     return warmed
 
 

@@ -764,3 +764,43 @@ def test_force_mode_cuckoo_exact():
     assert run_encoder(enc_d, data) == exp
     with pytest.raises(ValueError, match="not 'perfect'"):
         PallasFlatEncoder(t, interpret=True, force_mode="perfect")
+
+
+def test_toolchain_canary_16bit_scan():
+    """Toolchain canary for the parked 1.6x flat-scan headroom.
+
+    benches/results/flat_ablation_r4.json records why the 16-bit phase-1
+    scan (19.4 -> ~30 GB/s noscan ceiling, reference tokenizer.rs:61-86
+    semantics) is blocked: 16-bit ``pltpu.roll`` crashes the Mosaic
+    compile helper and strided sublane reads are rejected at trace time.
+    This test re-probes both ops (tools/canary_16bit.py, in a subprocess
+    so a compiler crash or hang cannot take the suite down) and FAILS
+    LOUDLY the day a jax/Mosaic upgrade unblocks them — that failure
+    means "go collect the ~1.6x", not "something broke". TPU-only: the
+    block is in the Mosaic TPU lowering, which interpret/CPU never
+    exercises. See CONFORMANCE.md (toolchain canary).
+    """
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("Mosaic lowering canary needs the TPU backend")
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..",
+                                      "tools", "canary_16bit.py")],
+        capture_output=True,
+        text=True,
+        timeout=600,  # a silent compile hang is also a "still blocked"
+    )
+    verdict = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert not verdict["headroom_unblocked"], (
+        "16-bit pltpu.roll AND strided sublane reads now lower on this "
+        "toolchain: the flat-BPE scan's parked ~1.6x headroom "
+        "(flat_ablation_r4.json, 19.4 -> ~30 GB/s) is reachable. "
+        f"Revisit tools/exp_scan.py phase-1 16-bit scan. Verdict: {verdict}"
+    )

@@ -420,6 +420,88 @@ def test_auto_engine_selection_for_streams():
     assert isinstance(eng.select_engine(Engine.AUTO, 1000), eng.NumpyEngine)
 
 
+def test_auto_stream_peek_honors_memcap(monkeypatch):
+    """The AUTO selection peek buffers at most min(32MB, memcap budget)
+    bytes (VERDICT r4 item 8): with a small budget, the engine must commit
+    after the budget's worth of chunks, not after the full 32MB default."""
+    from blt_tpu.pipeline import engines as eng
+
+    committed = {}
+
+    class FakeDeviceEngine(eng.NumpyEngine):
+        name = "fake-device"
+
+    def fake_probe():
+        return FakeDeviceEngine()
+
+    monkeypatch.setattr(eng, "_probe_device_engine", fake_probe)
+
+    seen = []
+
+    def chunk_gen():
+        for i in range(100):
+            c = np.full(100, i % 251, np.uint8)
+            seen.append(i)
+            yield c
+
+    auto = eng.AutoStreamEngine(mem_budget=512)
+    assert auto.peek_threshold == 512
+    out = b"".join(auto.basic_stream(chunk_gen(), 100))
+    # commit happened after ~512 bytes = 6 chunks, not after all 100
+    # chunks were buffered; the stream is still complete and in order
+    assert auto.selected.name == "fake-device"
+    assert len(out) == 2 * 100 * 100
+    exp = b"".join(
+        np.full(100, i % 251, np.uint8).astype(">u2").tobytes()
+        for i in range(100)
+    )
+    assert out == exp
+    committed["after"] = seen  # generator fully consumed by replay
+
+    # a budget above the default leaves the default threshold in place
+    assert (
+        eng.AutoStreamEngine(mem_budget=1 << 40).peek_threshold
+        == eng.AUTO_DEVICE_THRESHOLD
+    )
+    # no budget: unchanged default
+    assert eng.AutoStreamEngine().peek_threshold == eng.AUTO_DEVICE_THRESHOLD
+
+
+def test_flat_d2h_mode_warns_on_unknown(monkeypatch):
+    """An unrecognized BLT_D2H value must not silently run 'packed'
+    (ADVICE r4): the coercion is logged so a typo'd opt-out is visible.
+    (The blt_tpu logger doesn't propagate to the root, so capture with an
+    explicit handler rather than caplog.)"""
+    import logging
+
+    from blt_tpu.pipeline import engines as eng
+
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    logger = logging.getLogger("blt_tpu.engine")
+    handler = Capture(level=logging.WARNING)
+    logger.addHandler(handler)
+    old_level = logger.level
+    logger.setLevel(logging.WARNING)
+    try:
+        monkeypatch.setenv("BLT_D2H", "slot")  # typo for 'slots'
+        monkeypatch.delenv("BLT_DEVICE_COMPACT", raising=False)
+        assert eng._flat_d2h_mode() == "packed"
+        assert any("BLT_D2H" in m for m in records)
+
+        records.clear()
+        monkeypatch.setenv("BLT_D2H", "slots")
+        assert eng._flat_d2h_mode() == "slots"
+        assert not records
+    finally:
+        logger.removeHandler(handler)
+        logger.setLevel(old_level)
+
+
 def test_plan_feed_size_equalizes_batches():
     """Known-size inputs split into equal aligned batches so fixed-capacity
     encoders never move padded bytes over the link (exp_e2e finding)."""
