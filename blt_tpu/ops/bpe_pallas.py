@@ -1121,6 +1121,351 @@ def _multipass_resident_call(
     return b[:capacity], m
 
 
+_GAP_LOOKAHEAD = 4  # next/prev-alive window: tolerates tombstone runs <= 3
+_GAP_COMPACT_EVERY = 3  # passes between compactions (gap growth 0->1->3)
+
+
+def _mp_compact_mode() -> str:
+    """Resident-multipass compaction policy (BLT_MP_COMPACT env):
+    ``gap`` (default) = gap-tolerant passes, sort every 3rd round only;
+    ``sort`` = the pre-r5 stable-sort-every-pass loop (escape hatch /
+    comparison baseline)."""
+    import os
+
+    mode = os.environ.get("BLT_MP_COMPACT", "gap")
+    return mode if mode in ("gap", "sort") else "gap"
+
+
+def _compose_affine(later, earlier):
+    """Compose packed affine-bool transforms ``x -> a ^ (b & x)``.
+
+    Packed as ``a | (b << 1)`` (identity = 2, reset-to-0 = 0, flip = 3).
+    Returns ``later ∘ earlier`` (earlier applies first) — the segmented
+    parity recurrence of the merge scan as an associative operator.
+    """
+    a = (later & 1) ^ (((later >> 1) & 1) & (earlier & 1))
+    b = ((later >> 1) & (earlier >> 1)) & 1
+    return a | (b << 1)
+
+
+def _scan_compose_linear(v, lane_iota):
+    """Inclusive composition-scan of packed affine transforms over the
+    row-major linearization of v (R,128) — the same two-phase structure
+    as _scan_max_linear with compose in place of max."""
+    r = v.shape[0]
+    s = v
+    shift = 1
+    while shift < LANES:
+        rolled = pltpu.roll(s, shift, axis=1)
+        s = jnp.where(lane_iota >= shift, _compose_affine(s, rolled), s)
+        shift *= 2
+    row_tot = s[:, LANES - 1 :]  # (R,1) whole-row compositions
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+    excl = jnp.where(row_iota == 0, 2, pltpu.roll(row_tot, 1, axis=0))
+    shift = 1
+    while shift < r:
+        rolled = pltpu.roll(excl, shift, axis=0)
+        excl = jnp.where(
+            row_iota >= shift, _compose_affine(excl, rolled), excl
+        )
+        shift *= 2
+    return _compose_affine(s, jnp.broadcast_to(excl, s.shape))
+
+
+def _token_pass_gap_kernel(
+    params_ref,  # SMEM int32[8]: unused, a1, a2, shift
+    data_ref,  # (R,128) int32 tokens; -1 = tombstone (also beyond length)
+    halo_ref,  # (8,128) int32: first rows of the next block
+    k1_ref,
+    v1_ref,
+    k2_ref,
+    v2_ref,
+    out_ref,  # (R,128) int32: token, or -1 at consumed/tombstone slots
+    count_ref,  # (num_blocks, 1) int32 SMEM (unblocked): per-block alive
+    #   counts of the OUTPUT, written at [program_id, 0]
+    carry_ref,  # SMEM scratch (2,) int32: [0] last-alive code (2=start,
+    #   1=other alive, 0=none yet), [1] parity state after this block
+):
+    """One merge pass over a TOMBSTONED token stream (gap-tolerant).
+
+    Identical semantics to _token_pass_kernel run on the compacted
+    stream: tombstone runs of up to _GAP_LOOKAHEAD-1 positions are
+    skipped in place, so the resident multipass only needs a real
+    compaction every _GAP_COMPACT_EVERY passes instead of every pass —
+    the device sort was 7x the sweep cost (tools/exp_mp_ablate.py).
+    Mechanics: pairs form between each alive element and its next alive
+    neighbor (a select chain over shifted copies); the leftmost-
+    non-overlapping rule is the parity of the match-run position over
+    the ALIVE subsequence, computed as a composition scan of per-element
+    affine transforms (match=flip, non-match=reset, tombstone=identity)
+    and continued across blocks by one carried bit. The input must be
+    -1-padded beyond its valid length (EOF then needs no length math:
+    the last element finds no next-alive and never starts a merge —
+    per-chunk semantics, reference tokenizer.rs:61-86).
+    """
+    i = pl.program_id(0)
+    a1 = params_ref[1]
+    a2 = params_ref[2]
+    shift = params_ref[3]
+    slots_mask = k1_ref.shape[0] * LANES - 1
+
+    r = data_ref.shape[0]
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 0)
+    block = r * LANES
+    block_start = i * block
+    gidx = block_start + row_iota * LANES + lane_iota
+
+    d = data_ref[:]
+    alive = d >= 0
+
+    # next-alive value within the lookahead window; shift^k's tail fill
+    # is the k-th element of the next block (halo row 0)
+    t = d
+    nxt = None
+    for k in range(1, _GAP_LOOKAHEAD + 1):
+        t = _shift_left_linear(t, halo_ref[0:1, k - 1 : k], lane_iota)
+        nxt = t if nxt is None else jnp.where(nxt >= 0, nxt, t)
+
+    p = d * 65536 + nxt  # int32 wrap matches MergeTable.build_cuckoo32
+    h1 = ((p * a1) >> shift) & slots_mask
+    h2 = ((p * a2) >> shift) & slots_mask
+    e_k1 = _tree_lookup(k1_ref, h1)
+    e_v1 = _tree_lookup(v1_ref, h1)
+    e_k2 = _tree_lookup(k2_ref, h2)
+    e_v2 = _tree_lookup(v2_ref, h2)
+    hit1 = (e_k1 == p) & (e_v1 >= 0)
+    hit2 = (e_k2 == p) & (e_v2 >= 0)
+    val = jnp.where(hit1, e_v1, e_v2)
+    m = (hit1 | hit2) & alive & (nxt >= 0)
+
+    # run-position parity over the alive subsequence
+    v = jnp.where(alive, jnp.where(m, 3, 0), 2)
+    s = _scan_compose_linear(v, lane_iota)
+    x_in = jnp.where(i == 0, 0, carry_ref[1])
+    par = (s & 1) ^ ((s >> 1) & x_in)
+    starts = m & (par == 1)
+    starts_i = starts.astype(jnp.int32)
+
+    # consumed: nearest previous alive element (within the window, else
+    # the carried last-alive-so-far) is a start
+    vc = jnp.where(alive, jnp.where(starts, 2, 1), 0)
+    cs_in = jnp.where(i == 0, 0, carry_ref[0])
+    tq = vc
+    prevcode = None
+    for _ in range(_GAP_LOOKAHEAD):
+        tq = _shift_right_linear(tq, 0, lane_iota)
+        prevcode = (
+            tq if prevcode is None else jnp.where(prevcode == 0, tq, prevcode)
+        )
+    consumed = alive & (
+        (prevcode == 2) | ((prevcode == 0) & (cs_in == 2))
+    )
+
+    tok = jnp.where(starts, val, d)
+    dead = consumed | ~alive
+    out_ref[:] = jnp.where(dead, -1, tok)
+    # fused alive-count (saves a full XLA reduction pass per round)
+    count_ref[i, 0] = jnp.sum((~dead).astype(jnp.int32))
+
+    last_alive = jnp.max(jnp.where(alive, gidx, -1))
+    code_at_last = jnp.sum(
+        jnp.where(alive & (gidx == last_alive), jnp.where(starts, 2, 1), 0)
+    )
+    carry_ref[0] = jnp.where(last_alive >= 0, code_at_last, cs_in)
+    last_pos = block_start + block - 1
+    carry_ref[1] = jnp.sum(jnp.where(gidx == last_pos, par, 0))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "rows_per_block")
+)
+def _token_pass_gap_call(
+    params: jnp.ndarray,  # int32[8]
+    data3: jnp.ndarray,  # int32[num_blocks*R + 8, 128]; halo rows = -1
+    k1: jnp.ndarray,
+    v1: jnp.ndarray,
+    k2: jnp.ndarray,
+    v2: jnp.ndarray,
+    interpret: bool = False,
+    rows_per_block: int = ROWS_PER_BLOCK,
+):
+    rpb = rows_per_block
+    total_rows = data3.shape[0] - 8
+    num_blocks = total_rows // rpb
+    return pl.pallas_call(
+        _token_pass_gap_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(num_blocks,),
+            in_specs=[
+                pl.BlockSpec(
+                    (rpb, LANES),
+                    lambda i, params: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (8, LANES),
+                    lambda i, params: ((i + 1) * rpb // 8, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (rpb, LANES),
+                    lambda i, params: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((total_rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((num_blocks, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(params, data3, data3, k1, v1, k2, v2)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("capacity", "interpret", "rows_per_block")
+)
+def _multipass_gap_resident_call(
+    buf: jnp.ndarray,  # int32[padded_rows*128]
+    n: jnp.ndarray,  # int32 scalar: valid token count
+    hash_params: jnp.ndarray,  # int32[3]: a1, a2, shift
+    k1: jnp.ndarray,
+    v1: jnp.ndarray,
+    k2: jnp.ndarray,
+    v2: jnp.ndarray,
+    capacity: int,
+    interpret: bool = False,
+    rows_per_block: int = ROWS_PER_BLOCK,
+):
+    """Full multipass with GAP-TOLERANT passes: sort only every 3rd round.
+
+    The repeat-until-no-merges loop (reference tokenizer.rs:63-86) with
+    the tombstone-skipping pass kernel: consecutive passes leave -1
+    tombstones in place (runs grow 0 -> 1 -> 3, within the kernel's
+    lookahead), and the stable-sort compaction — measured at 7x the
+    sweep cost (tools/exp_mp_ablate.py) — runs only when a 4th round is
+    actually needed. Returns (tokens int32[capacity] WITH tombstones,
+    alive count m); callers drop the -1s host-side (or ship the packed
+    alive-flag plane, _multipass_gap_wire_call).
+    """
+    rpb = rows_per_block
+    padded_rows = buf.shape[0] // LANES
+    total = padded_rows * LANES
+    iota_cap = jnp.arange(capacity, dtype=jnp.int32)
+    # contract: the caller pads [n, total) with -1 host-side (np.full) so
+    # no device-side masking pass is needed (tombstone == padding; the
+    # gap kernel's alive mask covers both; a -1 "token" can never match
+    # a rule because match requires alive)
+    b0 = buf
+    params = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), hash_params, jnp.zeros(4, jnp.int32)]
+    )
+
+    def one_pass(b):
+        out, counts = _token_pass_gap_call(
+            params, b.reshape(padded_rows, LANES), k1, v1, k2, v2,
+            interpret=interpret, rows_per_block=rpb,
+        )
+        m2 = jnp.sum(counts)
+        # in-place update of the loop carry (XLA aliases it): the halo
+        # tail beyond capacity stays -1 from b0 and never changes
+        b2 = b.at[:capacity].set(out.reshape(-1))
+        return b2, m2
+
+    def compact(b):
+        s = b[:capacity]
+        alive = s >= 0
+        keys = jnp.where(alive, iota_cap, capacity + iota_cap)
+        _, comp = jax.lax.sort_key_val(keys, s)
+        # tombstones carry value -1, so the sorted tail is already -1
+        return b.at[:capacity].set(comp)
+
+    def cond(state):
+        _, prev, m, _, first = state
+        return first | ((m < prev) & (m > 1))
+
+    def body(state):
+        b, _, m, c, _ = state
+        b2, m2 = one_pass(b)
+        c2 = c + 1
+        # compact only when another round will actually run with gaps
+        # beyond the kernel's lookahead
+        do_compact = (
+            (c2 % _GAP_COMPACT_EVERY == 0) & (m2 < m) & (m2 > 1)
+        )
+        b3 = jax.lax.cond(do_compact, compact, lambda x: x, b2)
+        return b3, m, m2, c2, jnp.asarray(False)
+
+    b, _, m, _, _ = jax.lax.while_loop(
+        cond, body, (b0, n + 1, n, jnp.int32(0), jnp.asarray(True))
+    )
+    return b[:capacity], m
+
+
+def _gap_tokens_to_wire(toks: jnp.ndarray, capacity: int):
+    """Tombstoned int32 tokens -> one uint8 wire array: byteswapped-u16
+    image (2*capacity bytes; LE image of the alive entries is the u16-BE
+    stream) followed by the LSB-first alive-flag plane (capacity//8
+    bytes). Host expansion: expand_gap_wire_host / native."""
+    alive = toks >= 0
+    be = (((toks & 0xFF) << 8) | ((toks >> 8) & 0xFF)).astype(jnp.uint16)
+    data8 = jax.lax.bitcast_convert_type(be, jnp.uint8).reshape(-1)
+    flag = alive.astype(jnp.int32).reshape(-1, 8)
+    weights = jnp.left_shift(1, jnp.arange(8, dtype=jnp.int32))
+    fbytes = jnp.sum(flag * weights, axis=1).astype(jnp.uint8)
+    return jnp.concatenate([data8, fbytes])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("capacity", "interpret", "rows_per_block")
+)
+def _multipass_gap_wire_call(
+    buf: jnp.ndarray,
+    n: jnp.ndarray,
+    hash_params: jnp.ndarray,
+    k1: jnp.ndarray,
+    v1: jnp.ndarray,
+    k2: jnp.ndarray,
+    v2: jnp.ndarray,
+    capacity: int,
+    interpret: bool = False,
+    rows_per_block: int = ROWS_PER_BLOCK,
+):
+    """Resident multipass + wire emission in ONE dispatch: returns
+    (wire uint8[2*capacity + capacity//8], m). One combined D2H transfer
+    (the tunnel lesson: every extra array costs a whole round trip)."""
+    toks, m = _multipass_gap_resident_call(
+        buf, n, hash_params, k1, v1, k2, v2,
+        capacity=capacity, interpret=interpret, rows_per_block=rows_per_block,
+    )
+    return _gap_tokens_to_wire(toks, capacity), m
+
+
+def expand_gap_wire_host(wire: np.ndarray, capacity: int) -> np.ndarray:
+    """Host expansion of _multipass_gap_wire_call output: drops the
+    tombstoned entries. Returns byteswapped u16 tokens (LE image ==
+    u16-BE wire stream)."""
+    data = wire[: 2 * capacity]
+    flags = wire[2 * capacity :]
+    mask = np.unpackbits(
+        np.ascontiguousarray(flags), bitorder="little"
+    )[:capacity].astype(bool)
+    return data.view(np.uint16)[mask]
+
+
 class PallasTokenEncoder:
     """Multipass encoder for general tables (hierarchical rules included).
 
@@ -1212,35 +1557,76 @@ class PallasTokenEncoder:
             else -(-max(n, 1) // self.block) * self.block
         )
 
+    def _resident_args(self, data: np.ndarray, gap: bool = True):
+        n = data.shape[0]
+        capacity = self._capacity_for(n)
+        assert n <= capacity, f"batch {n} exceeds encoder capacity {capacity}"
+        padded_rows = _padded_rows(capacity, self.block, self.rows_per_block)
+        # gap loop contract: padding is -1 (tombstones) so the device
+        # needs no masking pass; the sort loop masks by n and expects 0s
+        fill = -1 if gap else 0
+        buf = np.full((padded_rows * LANES,), fill, np.int32)
+        buf[:n] = data
+        return (
+            jnp.asarray(buf),
+            jnp.int32(n),
+            jnp.asarray([self.a1, self.a2, self.shift], jnp.int32),
+            capacity,
+        )
+
     def encode_resident_dispatch(self, data: np.ndarray):
         """Dispatch the device-resident multipass; returns device handles.
 
         Returns (tokens_dev int32[capacity], count_dev int32 scalar) so a
         pipeline can overlap the D2H of one chunk with the next chunk's
-        passes; use ``encode_resident`` for the blocking variant.
+        passes. With the default gap-tolerant loop (BLT_MP_COMPACT=gap)
+        the token array may contain -1 tombstones between the m valid
+        entries; ``BLT_MP_COMPACT=sort`` restores the per-pass sort loop
+        whose output is a compacted prefix. Use ``encode_resident`` /
+        ``encode_resident_wire_dispatch`` for drained forms.
         """
-        n = data.shape[0]
-        capacity = self._capacity_for(n)
-        assert n <= capacity, f"batch {n} exceeds encoder capacity {capacity}"
-        padded_rows = _padded_rows(capacity, self.block, self.rows_per_block)
-        buf = np.zeros((padded_rows * LANES,), np.int32)
-        buf[:n] = data
-        return _multipass_resident_call(
-            jnp.asarray(buf),
-            jnp.int32(n),
-            jnp.asarray([self.a1, self.a2, self.shift], jnp.int32),
-            self.k1, self.v1, self.k2, self.v2,
+        sort_mode = _mp_compact_mode() == "sort"
+        buf_d, n_d, hp, capacity = self._resident_args(data, gap=not sort_mode)
+        call = (
+            _multipass_resident_call
+            if sort_mode
+            else _multipass_gap_resident_call
+        )
+        return call(
+            buf_d, n_d, hp, self.k1, self.v1, self.k2, self.v2,
             capacity=capacity,
             interpret=self.interpret,
             rows_per_block=self.rows_per_block,
         )
+
+    def encode_resident_wire_dispatch(self, data: np.ndarray):
+        """Resident multipass + wire emission in one dispatch.
+
+        Returns (wire_dev uint8[2*capacity + capacity//8], m_dev,
+        capacity); expand host-side with expand_gap_wire_host (the
+        packed alive-flag plane replaces any device compaction — the
+        sort costs 7x the sweep, tools/exp_mp_ablate.py).
+        """
+        buf_d, n_d, hp, capacity = self._resident_args(data)
+        wire, m = _multipass_gap_wire_call(
+            buf_d, n_d, hp, self.k1, self.v1, self.k2, self.v2,
+            capacity=capacity,
+            interpret=self.interpret,
+            rows_per_block=self.rows_per_block,
+        )
+        return wire, m, capacity
 
     def encode_resident(self, data: np.ndarray) -> np.ndarray:
         """Full multipass encode, repeat-until-done loop on device."""
         if data.shape[0] <= 1:
             return data.astype(np.int32)
         toks_d, m_d = self.encode_resident_dispatch(data)
-        return np.asarray(toks_d)[: int(m_d)]
+        toks = np.asarray(toks_d)
+        if _mp_compact_mode() == "sort":
+            return toks[: int(m_d)]
+        out = toks[toks >= 0]
+        assert out.shape[0] == int(m_d), (out.shape[0], int(m_d))
+        return out
 
 
 def _shard_mapped(mesh, per_shard, in_specs, out_specs):
@@ -1384,16 +1770,14 @@ class ShardedTokenEncoder:
             # local shapes: ns (1,), bufs (1, total); each device runs its
             # own repeat-until-done loop (no collectives inside, so
             # divergent trip counts across devices are fine). Tokens leave
-            # the device as byteswapped u16 (LE image == u16-BE wire),
-            # halving D2H vs the int32 array.
-            toks, m = _multipass_resident_call(
+            # the device as the gap wire: byteswapped u16 image + packed
+            # alive-flag plane (tombstones dropped host-side; the device
+            # sort costs 7x the sweep, tools/exp_mp_ablate.py).
+            wire, m = _multipass_gap_wire_call(
                 bufs[0], ns[0], hp, k1, v1, k2, v2,
                 capacity=capacity, interpret=interpret, rows_per_block=rpb,
             )
-            be = (((toks & 0xFF) << 8) | ((toks >> 8) & 0xFF)).astype(
-                jnp.uint16
-            )
-            return be[None], m[None]
+            return wire[None], m[None]
 
         row = P(DATA_AXIS)
         row2 = P(DATA_AXIS, None)
@@ -1411,7 +1795,8 @@ class ShardedTokenEncoder:
         b = self.n_rows
         assert len(chunks) <= b, (len(chunks), b)
         padded_rows = _padded_rows(self.capacity, enc.block, enc.rows_per_block)
-        batch = np.zeros((b, padded_rows * LANES), np.int32)
+        # gap-loop contract: -1 padding (see PallasTokenEncoder._resident_args)
+        batch = np.full((b, padded_rows * LANES), -1, np.int32)
         ns = np.zeros((b,), np.int32)
         for r, c in enumerate(chunks):
             assert c.shape[0] <= self.capacity
@@ -1424,20 +1809,23 @@ class ShardedTokenEncoder:
         hp = jnp.asarray([enc.a1, enc.a2, enc.shift], jnp.int32)
         # direct per-device H2D: a plain asarray would land the whole
         # batch on device 0 and reshard over ICI
-        toks_d, m_d = self._resident_call(
+        wire_d, m_d = self._resident_call(
             jax.device_put(ns, vec_sharding(self.mesh)),
             jax.device_put(batch, row_sharding(self.mesh)),
             hp, enc.k1, enc.v1, enc.k2, enc.v2,
         )
-        be_h = np.asarray(toks_d)
+        wire_h = np.asarray(wire_d)
         m_h = np.asarray(m_d)
         # the loop runs once even for 0/1-token rows, where the pass is an
-        # identity (no pair has gidx < length-1), so m_h[r] == ns[r] there;
-        # copies, not views — a view would pin the whole (b, capacity) host
-        # buffer for the lifetime of a few short token arrays
-        return [
-            be_h[r, : int(m_h[r])].copy() for r in range(len(chunks))
-        ]
+        # identity (a lone token finds no next-alive), so m_h[r] == ns[r]
+        # there; expand_gap_wire_host's fancy indexing yields fresh
+        # arrays, so nothing pins the (b, wire) host buffer
+        out = []
+        for r in range(len(chunks)):
+            toks = expand_gap_wire_host(wire_h[r], self.capacity)
+            assert toks.shape[0] == int(m_h[r]), (toks.shape[0], int(m_h[r]))
+            out.append(toks)
+        return out
 
     def encode_batch_resident(self, chunks: list) -> list:
         """Full multipass of up to n_rows chunks -> int32 token arrays

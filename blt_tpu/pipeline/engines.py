@@ -461,33 +461,51 @@ class JaxEngine:
         self, chunks: Iterable[np.ndarray], table: MergeTable, chunk_hint: int
     ) -> Iterator[bytes]:
         """Device-resident multipass: the whole repeat-until-done loop runs
-        on device (lax.while_loop around the token-pass kernel, stable-sort
-        compaction between rounds — bpe_pallas._multipass_resident_call),
-        one H2D + one D2H per chunk. Tokens convert to byteswapped u16 on
-        device before transfer (the LE image is the wire), halving the D2H
-        volume vs the int32 array. ``depth`` chunks stay in flight so the
-        D2H of one overlaps the passes of the next. Per-chunk semantics
+        on device (lax.while_loop around the gap-tolerant token-pass
+        kernel — bpe_pallas._multipass_gap_wire_call), one H2D + one D2H
+        per chunk. The wire is the byteswapped-u16 image plus a packed
+        alive-flag plane; tombstones are dropped host-side at memcpy
+        speed instead of by the device sort (7x the sweep cost,
+        tools/exp_mp_ablate.py). BLT_MP_COMPACT=sort restores the
+        per-pass sort loop. ``depth`` chunks stay in flight so the D2H
+        of one overlaps the passes of the next. Per-chunk semantics
         (general tables match the reference's chunk-dependent output,
         SURVEY.md 2.1.6)."""
         from blt_tpu.ops import bpe_jax
-        from blt_tpu.ops.bpe_pallas import PallasTokenEncoder
+        from blt_tpu.ops.bpe_pallas import (
+            PallasTokenEncoder,
+            _mp_compact_mode,
+            expand_gap_wire_host,
+        )
 
         enc = PallasTokenEncoder(table, capacity_tokens=align_up(chunk_hint))
         pending = collections.deque()
+        sort_mode = _mp_compact_mode() == "sort"
 
         def drain() -> bytes:
-            be_d, m_d = pending.popleft()
-            # uint16 LE image == u16-BE wire stream. Copy the valid slice:
-            # a view would pin the full capacity-sized transfer buffer for
-            # as long as downstream (e.g. the multihost _Spool) holds the
-            # result, breaking its nbytes-based --memcap accounting.
-            return np.asarray(be_d)[: int(m_d)].copy()
+            if sort_mode:
+                be_d, m_d = pending.popleft()
+                # uint16 LE image == u16-BE wire stream. Copy the valid
+                # slice: a view would pin the full capacity-sized transfer
+                # buffer for as long as downstream (e.g. the multihost
+                # _Spool) holds the result, breaking its nbytes-based
+                # --memcap accounting.
+                return np.asarray(be_d)[: int(m_d)].copy()
+            wire_d, m_d, cap = pending.popleft()
+            toks = expand_gap_wire_host(np.asarray(wire_d), cap)
+            assert toks.shape[0] == int(m_d), (toks.shape[0], int(m_d))
+            return toks  # fancy indexing already copied
 
         for chunk in chunks:
             if chunk.shape[0] == 0:
                 continue
-            toks_d, m_d = enc.encode_resident_dispatch(chunk)
-            pending.append((bpe_jax.tokens_to_be_bytes_device(toks_d), m_d))
+            if sort_mode:
+                toks_d, m_d = enc.encode_resident_dispatch(chunk)
+                pending.append(
+                    (bpe_jax.tokens_to_be_bytes_device(toks_d), m_d)
+                )
+            else:
+                pending.append(enc.encode_resident_wire_dispatch(chunk))
             if len(pending) > self.depth:
                 yield drain()
         while pending:
@@ -1124,6 +1142,48 @@ class AutoStreamEngine:
     def bpe_stream(self, chunks, table: MergeTable, chunk_hint: int) -> Iterator[bytes]:
         engine, replay = self._select(chunks)
         yield from engine.bpe_stream(replay, table, chunk_hint)
+
+
+class PayloadAutoEngine:
+    """Per-payload engine selection for known-size in-memory requests.
+
+    The serving twin of the CLI's AUTO policy: each request's size is
+    known up front (Content-Length), so selection is a simple threshold —
+    small payloads stay on the host engine (device dispatch latency
+    dominates), large payloads go to the accelerator when one exists.
+    The device engine is probed lazily ONCE (first large payload) and
+    shared across requests; callers resolve the concrete engine with
+    ``select(size)`` before streaming.
+    """
+
+    name = "auto"
+
+    def __init__(
+        self, threads: int = 0, device_threshold: Optional[int] = None
+    ):
+        self.threads = threads
+        self.threshold = (
+            device_threshold
+            if device_threshold and device_threshold > 0
+            else AUTO_DEVICE_THRESHOLD
+        )
+        self._host = NumpyEngine(threads)
+        self._device = None
+        self._probed = False
+
+    def select(self, size: int):
+        if size >= self.threshold:
+            if not self._probed:
+                self._probed = True
+                self._device = _probe_device_engine()
+                if self._device is not None:
+                    log.info(
+                        "payload AUTO: %s engine for payloads >= %d bytes",
+                        self._device.name, self.threshold,
+                    )
+            if self._device is not None:
+                return self._device
+        return self._host
 
 
 def select_engine(

@@ -379,7 +379,7 @@ def test_jax_engine_multipass_routes_resident(monkeypatch):
 
     engine._jax = FakeJax()
     calls = {"n": 0}
-    orig = bpe_pallas.PallasTokenEncoder.encode_resident_dispatch
+    orig = bpe_pallas.PallasTokenEncoder.encode_resident_wire_dispatch
 
     def counting(self, data):
         calls["n"] += 1
@@ -388,7 +388,9 @@ def test_jax_engine_multipass_routes_resident(monkeypatch):
         return orig(self, data)
 
     monkeypatch.setattr(
-        bpe_pallas.PallasTokenEncoder, "encode_resident_dispatch", counting
+        bpe_pallas.PallasTokenEncoder,
+        "encode_resident_wire_dispatch",
+        counting,
     )
     t = MT.build({(97, 98): 256, (256, 99): 257})
     chunks = [np.frombuffer(b"abcabcab", np.uint8),
@@ -804,3 +806,104 @@ def test_toolchain_canary_16bit_scan():
         "(flat_ablation_r4.json, 19.4 -> ~30 GB/s) is reachable. "
         f"Revisit tools/exp_scan.py phase-1 16-bit scan. Verdict: {verdict}"
     )
+
+
+def test_gap_resident_deep_pass_chain_hits_mid_loop_compaction():
+    """A 6-round collapse chain (a^64 -> ... -> one token) forces the
+    gap-tolerant loop through BOTH mid-loop compactions (every 3rd
+    round, bpe_pallas._GAP_COMPACT_EVERY) — gaps would otherwise exceed
+    the kernel's lookahead window. Exact vs the oracle."""
+    from blt_tpu.ops.bpe_numpy import bpe_encode_multipass
+    from blt_tpu.ops.bpe_pallas import PallasTokenEncoder
+
+    merges = {(97, 97): 300}
+    for k in range(5):
+        merges[(300 + k, 300 + k)] = 301 + k
+    t = MergeTable.build(merges)
+    enc = PallasTokenEncoder(t, interpret=True)
+    for n in (64, 63, 257, 1000):
+        data = np.full(n, 97, np.uint8)
+        got = enc.encode_resident(data).tolist()
+        exp = bpe_encode_multipass(data, t).tolist()
+        assert got == exp, n
+
+
+def test_gap_resident_wire_roundtrip():
+    """encode_resident_wire_dispatch + expand_gap_wire_host must produce
+    the exact byteswapped-u16 wire of the oracle token stream."""
+    from blt_tpu.ops.bpe_numpy import bpe_encode_multipass
+    from blt_tpu.ops.bpe_pallas import (
+        PallasTokenEncoder,
+        expand_gap_wire_host,
+    )
+
+    rng = np.random.default_rng(23)
+    merges = {
+        (97, 98): 256, (256, 99): 257, (257, 257): 258,
+        (120, 121): 90, (90, 122): 0, (0, 97): 400,
+    }
+    t = MergeTable.build(merges)
+    enc = PallasTokenEncoder(t, interpret=True)
+    for n in (2, 777, 4096):
+        data = rng.choice(
+            np.frombuffer(b"abcabcxyzaxyz", np.uint8), size=n
+        ).astype(np.uint8)
+        wire_d, m_d, cap = enc.encode_resident_wire_dispatch(data)
+        toks = expand_gap_wire_host(np.asarray(wire_d), cap)
+        assert toks.shape[0] == int(m_d)
+        exp = bpe_encode_multipass(data, t)
+        exp_wire = np.asarray(exp, np.uint16).astype(">u2").tobytes()
+        assert toks.tobytes() == exp_wire, n
+
+
+def test_mp_compact_sort_escape_hatch(monkeypatch):
+    """BLT_MP_COMPACT=sort restores the per-pass sort loop with identical
+    output (the comparison baseline for the gap redesign)."""
+    from blt_tpu.ops.bpe_numpy import bpe_encode_multipass
+    from blt_tpu.ops.bpe_pallas import PallasTokenEncoder
+
+    t = MergeTable.build({(97, 98): 256, (256, 99): 257, (32, 97): 259})
+    data = np.frombuffer(b"abc abcabc ab abc" * 40, np.uint8)
+    exp = bpe_encode_multipass(data, t).tolist()
+
+    monkeypatch.setenv("BLT_MP_COMPACT", "sort")
+    enc = PallasTokenEncoder(t, interpret=True)
+    assert enc.encode_resident(data).tolist() == exp
+    monkeypatch.setenv("BLT_MP_COMPACT", "gap")
+    assert enc.encode_resident(data).tolist() == exp
+    # unknown values fall back to the default gap mode
+    monkeypatch.setenv("BLT_MP_COMPACT", "bogus")
+    assert enc.encode_resident(data).tolist() == exp
+
+
+def test_gap_resident_randomized_fuzz_vs_oracle():
+    """Randomized tables (incl. hierarchical chains + collisions) x
+    randomized corpora: the gap-tolerant resident loop is bit-exact vs
+    the oracle across pass counts and tombstone densities."""
+    from blt_tpu.ops.bpe_numpy import bpe_encode_multipass
+    from blt_tpu.ops.bpe_pallas import PallasTokenEncoder
+
+    rng = np.random.default_rng(5)
+    for trial in range(6):
+        n_base = int(rng.integers(2, 40))
+        merges = {}
+        nxt = 256
+        for _ in range(n_base):
+            a, b = int(rng.integers(90, 123)), int(rng.integers(90, 123))
+            if (a, b) not in merges:
+                merges[(a, b)] = nxt
+                nxt += 1
+        # hierarchical chain over fresh ids
+        for _ in range(int(rng.integers(0, 6))):
+            a = int(rng.integers(256, nxt)) if nxt > 256 else 97
+            b = int(rng.integers(256, nxt)) if nxt > 256 else 97
+            if (a, b) not in merges:
+                merges[(a, b)] = nxt
+                nxt += 1
+        t = MergeTable.build(merges)
+        enc = PallasTokenEncoder(t, interpret=True)
+        n = int(rng.integers(1, 3000))
+        data = rng.integers(90, 123, n).astype(np.uint8)
+        got = enc.encode_resident(data).tolist()
+        exp = bpe_encode_multipass(data, t).tolist()
+        assert got == exp, (trial, n, len(merges))

@@ -252,3 +252,79 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# --- appended: chained gap-kernel sweep probe (run as second main) ---
+def main_gap():
+    import functools as ft
+
+    from blt_tpu.ops.bpe_pallas import _token_pass_gap_call
+
+    results = {"backend": jax.default_backend(), "cap": CAP, "k": K}
+    rng = np.random.default_rng(0)
+    host = make_corpus(rng, CAP)
+    hier = {(97, 98): 256, (256, 99): 257, (257, 257): 258, (32, 97): 259}
+    table = MergeTable.build(hier)
+    enc = PallasTokenEncoder(table, capacity_tokens=CAP)
+    params = jnp.asarray(
+        np.array([0, enc.a1, enc.a2, enc.shift, 0, 0, 0, 0], np.int32)
+    )
+
+    @ft.partial(jax.jit, static_argnames=("rpb", "k"))
+    def gap_chain(data3, k1, v1, k2, v2, rpb: int, k: int):
+        neg = jnp.full((8, 128), -1, jnp.int32)
+
+        def body(d3, _):
+            out = _token_pass_gap_call(params, d3, k1, v1, k2, v2,
+                                       rows_per_block=rpb)
+            return jnp.concatenate([out, neg], axis=0), ()
+
+        d3, _ = jax.lax.scan(body, data3, None, length=k)
+        return d3[0:1, 0:1]
+
+    for rpb in (512, 1024):
+        nb = CAP // (rpb * LANES)
+        pr = nb * rpb + 8
+        buf = np.full((pr * LANES,), -1, np.int32)
+        buf[: host.shape[0]] = host
+        data3 = jnp.asarray(buf.reshape(pr, LANES))
+
+        def fn():
+            return gap_chain(data3, enc.k1, enc.v1, enc.k2, enc.v2,
+                             rpb=rpb, k=K)
+
+        np.asarray(fn())
+        rates = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            np.asarray(fn())
+            rates.append((time.perf_counter() - t0) / K)
+        med = sorted(rates)[len(rates) // 2]
+        results[f"gapsweep_{rpb}"] = {"ms": med * 1e3,
+                                      "melem_per_s": CAP / med / 1e6}
+        log(f"gapsweep_{rpb}: {med*1e3:.2f} ms ({CAP/med/1e6:.0f} Melem/s)")
+
+    # control: plain pass kernel under the identical chain
+    for rpb in (512,):
+        nb = CAP // (rpb * LANES)
+        pr = nb * rpb + 8
+        buf = np.full((pr * LANES,), -1, np.int32)
+        buf[: host.shape[0]] = host
+        data3 = jnp.asarray(buf.reshape(pr, LANES))
+
+        def fn():
+            return chained_call(params.at[0].set(CAP), data3, enc.k1,
+                                enc.v1, enc.k2, enc.v2, variant="full",
+                                rpb=rpb, k=K)
+
+        np.asarray(fn())
+        rates = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            np.asarray(fn())
+            rates.append((time.perf_counter() - t0) / K)
+        med = sorted(rates)[len(rates) // 2]
+        results["plain_control_512"] = {"ms": med * 1e3}
+        log(f"plain_control_512: {med*1e3:.2f} ms")
+
+    print(json.dumps(results), flush=True)
