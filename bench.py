@@ -107,7 +107,141 @@ def make_corpus(rng, n):
     return np.roll(np.tile(_BASE, reps)[:n], shift)
 
 
+def run_canary_phase() -> dict:
+    """Toolchain canary (docs/CONFORMANCE.md): re-probe the two Mosaic
+    ops blocking the flat-scan 1.6x, in a SUBPROCESS so a compiler crash
+    or hang cannot take the bench down, and sequentially BEFORE this
+    process initializes its own TPU client (never two tunnel clients)."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "canary_16bit.py")],
+            capture_output=True, text=True, timeout=600,
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception as e:  # noqa: BLE001 - canary must never kill bench
+        return {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+
+
+def run_1gb_phase() -> dict:
+    """The reference's largest bench workload (1GB,
+    reference benches/pipeline_benchmark.rs:84-110) through the REAL CLI
+    in subprocesses, all three modes, with a TIGHT --memcap 2 so the
+    recorded peak RSS is a meaningful streaming-contract gate
+    (VERDICT r4 item 4). Runs before this process opens its own TPU
+    client. BLT_BENCH_1GB=0 skips."""
+    import subprocess
+    import tempfile
+
+    from blt_tpu.utils import sysinfo
+
+    if os.environ.get("BLT_BENCH_1GB", "1") == "0":
+        return {"skipped": "BLT_BENCH_1GB=0"}
+    out: dict = {"memcap_percent": 2}
+    budget = int(sysinfo.total_memory_bytes() * 0.02)
+    out["memcap_budget_bytes"] = budget
+    size = 1024 * 1024 * 1024
+    rng = np.random.default_rng(0)
+    base = make_corpus(rng, 4 * 1024 * 1024)
+    deadline = time.monotonic() + 700
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            ip = os.path.join(td, "in1g.bin")
+            with open(ip, "wb") as f:
+                for _ in range(size // base.nbytes):
+                    f.write(base.tobytes())
+            mp = os.path.join(td, "m.txt")
+            with open(mp, "w") as f:
+                for a, b in [(101, 116), (116, 97), (97, 111), (32, 101)]:
+                    f.write(f"{a} {b}\n")
+            wrapper = (
+                "import resource,subprocess,sys,json,time;"
+                "t0=time.perf_counter();"
+                "p=subprocess.run(sys.argv[1:]);"
+                "ru=resource.getrusage(resource.RUSAGE_CHILDREN);"
+                "print(json.dumps({'rc':p.returncode,"
+                "'seconds':time.perf_counter()-t0,"
+                "'maxrss_bytes':ru.ru_maxrss*1024}))"
+            )
+            for mode in ("passthrough", "basic", "bpe"):
+                if time.monotonic() > deadline:
+                    out[mode] = {"skipped": "phase time budget exhausted"}
+                    continue
+                op = os.path.join(td, f"out_{mode}.bin")
+                cmd = [sys.executable, "-c", wrapper, sys.executable,
+                       "-m", "blt_tpu.cli", "-i", ip, "-o", op,
+                       "--memcap", "2"]
+                if mode == "passthrough":
+                    cmd.append("--passthrough")
+                elif mode == "bpe":
+                    cmd += ["--merges", mp]
+                try:
+                    proc = subprocess.run(
+                        cmd, capture_output=True, text=True, timeout=420,
+                    )
+                    rec = json.loads(proc.stdout.strip().splitlines()[-1])
+                except Exception as e:  # noqa: BLE001
+                    out[mode] = {
+                        "error": f"{type(e).__name__}: {str(e)[:200]}"
+                    }
+                    continue
+                rec["bytes_per_sec"] = size / rec["seconds"]
+                rec["rss_within_memcap"] = rec["maxrss_bytes"] <= budget
+                # exactness gates (prefix/sample; full-file oracle would
+                # dominate the phase budget)
+                osize = os.path.getsize(op)
+                if mode == "passthrough":
+                    with open(op, "rb") as f:
+                        head = f.read(1 << 20)
+                        f.seek(-(1 << 20), 2)
+                        tail = f.read()
+                    rec["exact"] = (
+                        osize == size
+                        and head == base.tobytes()[: 1 << 20]
+                        and tail == base.tobytes()[-(1 << 20):]
+                    )
+                elif mode == "basic":
+                    with open(op, "rb") as f:
+                        head = np.frombuffer(f.read(2 << 20), ">u2")
+                    rec["exact"] = (
+                        osize == 2 * size
+                        and bool(
+                            (head == base[: 1 << 20].astype(np.uint16)).all()
+                        )
+                    )
+                else:
+                    from blt_tpu.merges import (
+                        MergeTable,
+                        load_bpe_merges_from_path,
+                    )
+                    from blt_tpu.ops.bpe_numpy import bpe_encode_flat
+
+                    table = MergeTable.build(load_bpe_merges_from_path(mp))
+                    exp = bpe_encode_flat(base, table)
+                    with open(op, "rb") as f:
+                        got = np.frombuffer(
+                            f.read(2 * exp.size), ">u2"
+                        ).astype(np.int64)
+                    k = exp.size - 2  # trim the prefix-edge straddle
+                    rec["exact"] = bool((got[:k] == exp[:k]).all())
+                out[mode] = rec
+                log(f"1gb {mode}: {rec['bytes_per_sec']/1e6:.1f} MB/s, "
+                    f"maxrss {rec['maxrss_bytes']/2**20:.0f} MiB "
+                    f"(within memcap: {rec['rss_within_memcap']}), "
+                    f"exact={rec.get('exact')}")
+    except Exception as e:  # noqa: BLE001 - never lose the bench
+        out["error"] = f"{type(e).__name__}: {str(e)[:200]}"
+    return out
+
+
 def main() -> None:
+    canary = run_canary_phase()
+    log(f"toolchain canary: {canary}")
+    bench_1gb = run_1gb_phase()
+
     import jax
     import jax.numpy as jnp
 
@@ -348,44 +482,87 @@ def main() -> None:
         exact_full["multipass"] = okm
 
         # device-resident multipass rate: the repeat-until-done loop runs
-        # entirely on device (while_loop + sort compaction), so a
-        # resident-buffer rep measures the kernel+compaction, not the link
+        # entirely on device. Default = the gap-tolerant loop (tombstone
+        # runs skipped in place; sort only every 3rd round) with the
+        # fused wire emission — the production dispatch. The pre-r5
+        # sort-every-pass loop is timed as a control.
         got_res = enc_tok.encode_resident(chunk)
         okr = got_res.shape == exp_mp.shape and bool((got_res == exp_mp).all())
         log(f"exact_full[multipass_resident] (8MB): {okr}")
         exact_full["multipass_resident"] = okr
-        from blt_tpu.ops.bpe_pallas import _multipass_resident_call
+        from blt_tpu.ops.bpe_pallas import (
+            _multipass_gap_wire_call,
+            _multipass_resident_call,
+            _padded_rows as _pr_mp,
+            expand_gap_wire_host,
+        )
 
         cap = enc_tok.capacity
-        nb_ = cap // enc_tok.block
-        pr = nb_ * enc_tok.rows_per_block + 8
-        bufm = np.zeros((pr * 128,), np.int32)
-        bufm[: chunk.shape[0]] = chunk
-        bufm_d = jnp.asarray(bufm)
+        pr = _pr_mp(cap, enc_tok.block, enc_tok.rows_per_block)
         hp = jnp.asarray(
             [enc_tok.a1, enc_tok.a2, enc_tok.shift], jnp.int32
         )
         args_mp = dict(capacity=cap, interpret=False,
                        rows_per_block=enc_tok.rows_per_block)
-        o, m = _multipass_resident_call(
-            bufm_d, jnp.int32(chunk.shape[0]), hp,
-            enc_tok.k1, enc_tok.v1, enc_tok.k2, enc_tok.v2, **args_mp)
-        jax.block_until_ready((o, m))
+        n_d = jnp.int32(chunk.shape[0])
+
+        bufg = np.full((cap,), -1, np.int32)  # gap contract: -1 padding
+        bufg[: chunk.shape[0]] = chunk
+        bufg_d = jnp.asarray(bufg)
+
+        def gap_call():
+            return _multipass_gap_wire_call(
+                bufg_d, n_d, hp, enc_tok.k1, enc_tok.v1,
+                enc_tok.k2, enc_tok.v2, **args_mp)
+
+        wire_d, mg = gap_call()
+        toks_w = expand_gap_wire_host(np.asarray(wire_d), cap)
+        okw = (
+            toks_w.shape[0] == int(mg)
+            and toks_w.tobytes()
+            == np.asarray(exp_mp, np.uint16).astype(">u2").tobytes()
+        )
+        log(f"exact_full[multipass_gap_wire] (8MB): {okw}")
+        exact_full["multipass_gap_wire"] = okw
         mp_rates = []
         for _ in range(REPS):
             t0 = time.perf_counter()
-            for _ in range(2):
-                o, m = _multipass_resident_call(
-                    bufm_d, jnp.int32(chunk.shape[0]), hp,
-                    enc_tok.k1, enc_tok.v1, enc_tok.k2, enc_tok.v2, **args_mp)
-            jax.block_until_ready((o, m))
-            mp_rates.append(2 * chunk.shape[0] / (time.perf_counter() - t0))
+            for _ in range(5):  # ~15ms/loop: amortize the sync RTT
+                w, m = gap_call()
+            int(np.asarray(m))  # forces all queued loops (in-order exec)
+            mp_rates.append(5 * chunk.shape[0] / (time.perf_counter() - t0))
         mp_stats = rate_stats(mp_rates)
         mp_bps = mp_stats["median"]
         extras["multipass_resident_bytes_per_sec"] = mp_bps
         extras["multipass_resident_rate_stats"] = mp_stats
-        log(f"multipass device-resident (hierarchical, 8MB): "
+        log(f"multipass device-resident gap loop (hierarchical, 8MB): "
             f"{mp_bps/1e6:.1f} MB/s")
+
+        # control: the sort-every-pass loop (pre-r5 shape)
+        bufm = np.zeros((pr * 128,), np.int32)
+        bufm[: chunk.shape[0]] = chunk
+        bufm_d = jnp.asarray(bufm)
+
+        def sort_call():
+            return _multipass_resident_call(
+                bufm_d, n_d, hp, enc_tok.k1, enc_tok.v1,
+                enc_tok.k2, enc_tok.v2, **args_mp)
+
+        sort_call()
+        sort_rates = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            for _ in range(2):
+                o, m = sort_call()
+            int(np.asarray(m))
+            sort_rates.append(2 * chunk.shape[0] / (time.perf_counter() - t0))
+        sort_stats = rate_stats(sort_rates)
+        extras["multipass_resident_sortloop_bytes_per_sec"] = (
+            sort_stats["median"]
+        )
+        extras["multipass_resident_sortloop_rate_stats"] = sort_stats
+        log(f"multipass sort-loop control (8MB): "
+            f"{sort_stats['median']/1e6:.1f} MB/s")
 
         # the pure-XLA device paths (the Pallas fallbacks and the
         # BLT_MULTIPASS=xla mode) on REAL hardware, vs the host oracle
@@ -485,19 +662,27 @@ def main() -> None:
                     f.write(f"{a} {b}\n")
             from blt_tpu.pipeline import feeder as _feeder
 
+            from benches.pipeline_benchmark import probe_link_rates
+
             for mode in ("basic", "bpe"):
                 # first run = compile + warm-up; then E2E_REPS steady-state
                 # reps timed individually (the tunnel's bandwidth swings
                 # minute to minute — a single warm sample can under-read
                 # 2-3x; the median + recorded dispersion make run-to-run
-                # comparisons trustworthy)
+                # comparisons trustworthy). A link-capacity probe is
+                # INTERLEAVED around every rep: each rep's bound comes
+                # from its adjacent probes, so the efficiency number uses
+                # the link weather DURING that rep's window, not a stale
+                # pre-run probe (r4's efficiency > 1.0 artifact).
                 _feeder.stage_stats(reset=True)
                 dt_first = run_once(ip, op, mode, Engine.JAX, mp)
                 dts, occs = [], []
+                probes = [probe_link_rates()]
                 for _ in range(E2E_REPS):
                     _feeder.stage_stats(reset=True)
                     dts.append(run_once(ip, op, mode, Engine.JAX, mp))
                     occs.append(_feeder.stage_stats(reset=True))
+                    probes.append(probe_link_rates())
                 stats = rate_stats([size / d for d in dts])
                 rate = stats["median"]
                 dt = size / rate
@@ -519,28 +704,46 @@ def main() -> None:
                 # measured duplex_factor decides how much the two
                 # directions share one capacity: half-duplex (~1) gives
                 # the serial bound 1/(1/h2d + r/d2h); full duplex (~2)
-                # gives min(h2d, d2h/r).
+                # gives min(h2d, d2h/r). Per-rep bounds take the BEST of
+                # the rep's two adjacent probes — capacity is what the
+                # link could do around that window; a probe can only
+                # under-read it.
                 from blt_tpu.pipeline.engines import _flat_d2h_mode
 
                 out_ratio = os.path.getsize(op) / size
                 d2h_ratio = out_ratio
                 if mode == "bpe" and _flat_d2h_mode() == "packed":
                     d2h_ratio = 1.125
-                h2d = roofline["h2d_bytes_per_sec"]
-                d2h = roofline["d2h_bytes_per_sec"]
                 df = roofline.get("duplex_factor", 1.0)
-                serial = 1.0 / (1.0 / h2d + d2h_ratio / d2h)
-                bound = min(h2d, d2h / d2h_ratio, serial * df)
-                e2e[f"{mode}_link_bound_bytes_per_sec"] = bound
+                effs, bounds = [], []
+                for j, d in enumerate(dts):
+                    h2d = max(probes[j]["h2d_bytes_per_sec"],
+                              probes[j + 1]["h2d_bytes_per_sec"])
+                    d2h = max(probes[j]["d2h_bytes_per_sec"],
+                              probes[j + 1]["d2h_bytes_per_sec"])
+                    serial = 1.0 / (1.0 / h2d + d2h_ratio / d2h)
+                    bound = min(h2d, d2h / d2h_ratio, serial * df)
+                    bounds.append(bound)
+                    effs.append((size / d) / bound)
+                eff_stats = rate_stats(effs)
+                e2e[f"{mode}_link_bound_bytes_per_sec"] = float(
+                    np.median(bounds)
+                )
                 e2e[f"{mode}_d2h_ratio"] = d2h_ratio
                 e2e[f"{mode}_link_bound_model"] = (
-                    "min(h2d, d2h/r_d2h, duplex_factor/(1/h2d + r_d2h/d2h))"
+                    "per-rep min(h2d, d2h/r_d2h, "
+                    "duplex_factor/(1/h2d + r_d2h/d2h)), h2d/d2h = best of "
+                    "the rep's adjacent interleaved probes"
                 )
-                e2e[f"{mode}_efficiency_vs_link"] = rate / bound
+                e2e[f"{mode}_efficiency_vs_link"] = eff_stats["median"]
+                e2e[f"{mode}_efficiency_vs_link_stats"] = eff_stats
+                e2e[f"{mode}_link_probes"] = probes
                 log(
                     f"e2e {mode} 100MB (jax engine): {rate/1e6:.1f} MB/s "
-                    f"= {rate/bound:.0%} of the duplex-corrected link bound "
-                    f"({bound/1e6:.1f} MB/s, duplex_factor={df:.2f}); "
+                    f"= {eff_stats['median']:.0%} of the per-rep "
+                    f"duplex-corrected link bound (median bound "
+                    f"{np.median(bounds)/1e6:.1f} MB/s, "
+                    f"duplex_factor={df:.2f}); "
                     f"first-run {size/dt_first/1e6:.1f} MB/s"
                 )
 
@@ -613,6 +816,8 @@ def main() -> None:
                 "bpe_bytes_per_sec": bpe_bps,
                 "bpe_rate_stats": bpe_stats,
                 "bpe_exact_vs_oracle_prefix": bool(exact),
+                "toolchain_canary": canary,
+                "bench_1gb": bench_1gb,
                 **extras,
                 "backend": backend,
                 "buffer_bytes": N,

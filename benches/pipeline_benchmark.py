@@ -63,6 +63,41 @@ def run_once(input_path, output_path, mode, engine, merges_path=None):
     return time.perf_counter() - t0
 
 
+def probe_link_rates(mb: int = 16, chain: int = 2) -> dict:
+    """One quick link-capacity sample per direction.
+
+    ``chain`` back-to-back transfers are timed together, amortizing the
+    per-transfer sync RTT that made single-shot probes under-read
+    capacity (a ~60ms D2H round-trip floor on a ~400ms transfer reads
+    ~15% low — one reason r4's link "efficiency" exceeded 1.0). Distinct
+    buffers per transfer defeat host-copy caching. Interleave these with
+    timed e2e reps and bound each rep by its ADJACENT probes: the tunnel
+    swings minute-to-minute, so a probe taken outside the run window
+    says little about capacity during it (VERDICT r4 item 3).
+    """
+    import jax
+
+    n = mb * 1024 * 1024
+    f = jax.jit(lambda a: a + 1)
+    xs = [
+        np.random.default_rng(i).integers(0, 256, n, dtype=np.uint8)
+        for i in range(chain)
+    ]
+    t0 = time.perf_counter()
+    devs = []
+    for x in xs:
+        devs.append(jax.device_put(x))
+    jax.block_until_ready(devs)
+    h2d = chain * n / (time.perf_counter() - t0)
+    devs = [f(d) for d in devs]  # fresh arrays: no cached host copies
+    jax.block_until_ready(devs)
+    t0 = time.perf_counter()
+    for d in devs:
+        np.asarray(d)
+    d2h = chain * n / (time.perf_counter() - t0)
+    return {"h2d_bytes_per_sec": h2d, "d2h_bytes_per_sec": d2h}
+
+
 def measure_roofline() -> dict:
     """Measure the host<->device interconnect and dispatch floors.
 

@@ -425,6 +425,8 @@ class PallasFlatEncoder:
         bench/tests to keep every kernel mode certified on hardware even
         though the selector would not normally pick it. Raises ValueError
         when the table cannot be built in that mode."""
+        # remembered so with_capacity() clones preserve the configuration
+        self._init_args = (table, interpret, rows_per_block, force_mode)
         if rows_per_block is None:
             # measured on v5e (benches/results/flat_ablation_r3.json sweep):
             # 1024-row (128KB) blocks run ~5% faster than 512 (18.4 -> 19.3
@@ -574,6 +576,18 @@ class PallasFlatEncoder:
     def direct(self) -> bool:
         """True when the packed-dense direct-lookup kernel is in use."""
         return self.mode == "direct"
+
+    def with_capacity(self, capacity_bytes: int) -> "PallasFlatEncoder":
+        """A sibling encoder for another batch capacity, same table and
+        configuration (the pipeline's tail-bucket encoder)."""
+        table, interpret, rpb, force_mode = self._init_args
+        return PallasFlatEncoder(
+            table,
+            interpret=interpret,
+            capacity_bytes=capacity_bytes,
+            rows_per_block=rpb,
+            force_mode=force_mode,
+        )
 
     @staticmethod
     def supports(table: MergeTable) -> bool:
@@ -1174,8 +1188,11 @@ def _scan_compose_linear(v, lane_iota):
 
 def _token_pass_gap_kernel(
     params_ref,  # SMEM int32[8]: unused, a1, a2, shift
+    halos_ref,  # SMEM int32[num_blocks, LOOKAHEAD]: the next block's
+    #   first LOOKAHEAD elements per block (-1 beyond the array) — tiny
+    #   prefetched scalars instead of halo rows, so data and output are
+    #   plain capacity-sized buffers that swap roles between rounds
     data_ref,  # (R,128) int32 tokens; -1 = tombstone (also beyond length)
-    halo_ref,  # (8,128) int32: first rows of the next block
     k1_ref,
     v1_ref,
     k2_ref,
@@ -1220,11 +1237,12 @@ def _token_pass_gap_kernel(
     alive = d >= 0
 
     # next-alive value within the lookahead window; shift^k's tail fill
-    # is the k-th element of the next block (halo row 0)
+    # is the k-th element of the next block (prefetched SMEM scalar)
     t = d
     nxt = None
     for k in range(1, _GAP_LOOKAHEAD + 1):
-        t = _shift_left_linear(t, halo_ref[0:1, k - 1 : k], lane_iota)
+        fill = jnp.full((1, 1), halos_ref[i, k - 1], jnp.int32)
+        t = _shift_left_linear(t, fill, lane_iota)
         nxt = t if nxt is None else jnp.where(nxt >= 0, nxt, t)
 
     p = d * 65536 + nxt  # int32 wrap matches MergeTable.build_cuckoo32
@@ -1282,7 +1300,7 @@ def _token_pass_gap_kernel(
 )
 def _token_pass_gap_call(
     params: jnp.ndarray,  # int32[8]
-    data3: jnp.ndarray,  # int32[num_blocks*R + 8, 128]; halo rows = -1
+    data2: jnp.ndarray,  # int32[num_blocks*R, 128]; -1 beyond length
     k1: jnp.ndarray,
     v1: jnp.ndarray,
     k2: jnp.ndarray,
@@ -1290,23 +1308,34 @@ def _token_pass_gap_call(
     interpret: bool = False,
     rows_per_block: int = ROWS_PER_BLOCK,
 ):
+    """One gap-tolerant pass over a capacity-sized buffer (no halo
+    rows: the next block's boundary elements ride a tiny prefetched
+    halos array, so the output is a drop-in replacement buffer for the
+    next round with no copy-back). Returns (tokens, per-block alive
+    counts)."""
     rpb = rows_per_block
-    total_rows = data3.shape[0] - 8
+    total_rows = data2.shape[0]
     num_blocks = total_rows // rpb
+    # boundary elements of the NEXT block per block, -1 past the end.
+    # Row-strided slice, NOT a reshape to (num_blocks, rpb*LANES): that
+    # reshape is layout-incompatible on TPU and forced a full relayout
+    # copy of the buffer per pass (measured 1.4x on the whole loop).
+    halos = jnp.concatenate(
+        [
+            data2[rpb::rpb, :_GAP_LOOKAHEAD],
+            jnp.full((1, _GAP_LOOKAHEAD), -1, jnp.int32),
+        ],
+        axis=0,
+    )
     return pl.pallas_call(
         _token_pass_gap_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(num_blocks,),
             in_specs=[
                 pl.BlockSpec(
                     (rpb, LANES),
-                    lambda i, params: (i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (8, LANES),
-                    lambda i, params: ((i + 1) * rpb // 8, 0),
+                    lambda i, params, halos: (i, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -1317,7 +1346,7 @@ def _token_pass_gap_call(
             out_specs=[
                 pl.BlockSpec(
                     (rpb, LANES),
-                    lambda i, params: (i, 0),
+                    lambda i, params, halos: (i, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1328,18 +1357,22 @@ def _token_pass_gap_call(
             jax.ShapeDtypeStruct((total_rows, LANES), jnp.int32),
             jax.ShapeDtypeStruct((num_blocks, 1), jnp.int32),
         ],
+        # NOTE: input_output_aliases={2: 0} was measured 1.4x SLOWER
+        # (380 vs 550 MB/s full-loop): in-place buffers defeat Mosaic's
+        # grid prefetch double-buffering. A fresh output costs one HBM
+        # allocation and keeps the pipeline overlapped.
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(params, data3, data3, k1, v1, k2, v2)
+    )(params, halos, data2, k1, v1, k2, v2)
 
 
 @functools.partial(
     jax.jit, static_argnames=("capacity", "interpret", "rows_per_block")
 )
 def _multipass_gap_resident_call(
-    buf: jnp.ndarray,  # int32[padded_rows*128]
+    buf: jnp.ndarray,  # int32[capacity]; caller pads [n, capacity) = -1
     n: jnp.ndarray,  # int32 scalar: valid token count
     hash_params: jnp.ndarray,  # int32[3]: a1, a2, shift
     k1: jnp.ndarray,
@@ -1353,45 +1386,38 @@ def _multipass_gap_resident_call(
     """Full multipass with GAP-TOLERANT passes: sort only every 3rd round.
 
     The repeat-until-no-merges loop (reference tokenizer.rs:63-86) with
-    the tombstone-skipping pass kernel: consecutive passes leave -1
-    tombstones in place (runs grow 0 -> 1 -> 3, within the kernel's
-    lookahead), and the stable-sort compaction — measured at 7x the
-    sweep cost (tools/exp_mp_ablate.py) — runs only when a 4th round is
-    actually needed. Returns (tokens int32[capacity] WITH tombstones,
-    alive count m); callers drop the -1s host-side (or ship the packed
-    alive-flag plane, _multipass_gap_wire_call).
+    the tombstone-skipping pass kernel running IN PLACE (the kernel
+    output aliases the loop buffer): consecutive passes leave -1
+    tombstones where merges consumed tokens (runs grow 0 -> 1 -> 3,
+    within the kernel's lookahead), and the stable-sort compaction —
+    measured at 7x the sweep cost (tools/exp_mp_ablate.py) — runs only
+    when a 4th round is actually needed. The -1 padding contract means
+    no device-side masking pass: tombstone == padding, and a -1 "token"
+    can never match a rule because matches require alive operands.
+    Returns (tokens int32[capacity] WITH tombstones, alive count m);
+    callers drop the -1s host-side (or ship the packed alive-flag
+    plane, _multipass_gap_wire_call).
     """
     rpb = rows_per_block
-    padded_rows = buf.shape[0] // LANES
-    total = padded_rows * LANES
+    rows = capacity // LANES
     iota_cap = jnp.arange(capacity, dtype=jnp.int32)
-    # contract: the caller pads [n, total) with -1 host-side (np.full) so
-    # no device-side masking pass is needed (tombstone == padding; the
-    # gap kernel's alive mask covers both; a -1 "token" can never match
-    # a rule because match requires alive)
-    b0 = buf
     params = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), hash_params, jnp.zeros(4, jnp.int32)]
     )
 
     def one_pass(b):
         out, counts = _token_pass_gap_call(
-            params, b.reshape(padded_rows, LANES), k1, v1, k2, v2,
+            params, b.reshape(rows, LANES), k1, v1, k2, v2,
             interpret=interpret, rows_per_block=rpb,
         )
-        m2 = jnp.sum(counts)
-        # in-place update of the loop carry (XLA aliases it): the halo
-        # tail beyond capacity stays -1 from b0 and never changes
-        b2 = b.at[:capacity].set(out.reshape(-1))
-        return b2, m2
+        return out.reshape(-1), jnp.sum(counts)
 
     def compact(b):
-        s = b[:capacity]
-        alive = s >= 0
+        alive = b >= 0
         keys = jnp.where(alive, iota_cap, capacity + iota_cap)
-        _, comp = jax.lax.sort_key_val(keys, s)
+        _, comp = jax.lax.sort_key_val(keys, b)
         # tombstones carry value -1, so the sorted tail is already -1
-        return b.at[:capacity].set(comp)
+        return comp
 
     def cond(state):
         _, prev, m, _, first = state
@@ -1410,9 +1436,9 @@ def _multipass_gap_resident_call(
         return b3, m, m2, c2, jnp.asarray(False)
 
     b, _, m, _, _ = jax.lax.while_loop(
-        cond, body, (b0, n + 1, n, jnp.int32(0), jnp.asarray(True))
+        cond, body, (buf, n + 1, n, jnp.int32(0), jnp.asarray(True))
     )
-    return b[:capacity], m
+    return b, m
 
 
 def _gap_tokens_to_wire(toks: jnp.ndarray, capacity: int):
@@ -1561,11 +1587,16 @@ class PallasTokenEncoder:
         n = data.shape[0]
         capacity = self._capacity_for(n)
         assert n <= capacity, f"batch {n} exceeds encoder capacity {capacity}"
-        padded_rows = _padded_rows(capacity, self.block, self.rows_per_block)
-        # gap loop contract: padding is -1 (tombstones) so the device
-        # needs no masking pass; the sort loop masks by n and expects 0s
-        fill = -1 if gap else 0
-        buf = np.full((padded_rows * LANES,), fill, np.int32)
+        # gap loop contract: a capacity-sized buffer padded with -1
+        # tombstones (no halo rows — boundary fills ride the prefetched
+        # halos array); the sort loop keeps the halo-row layout with 0s
+        if gap:
+            buf = np.full((capacity,), -1, np.int32)
+        else:
+            padded_rows = _padded_rows(
+                capacity, self.block, self.rows_per_block
+            )
+            buf = np.zeros((padded_rows * LANES,), np.int32)
         buf[:n] = data
         return (
             jnp.asarray(buf),
@@ -1794,9 +1825,9 @@ class ShardedTokenEncoder:
         enc = self._single
         b = self.n_rows
         assert len(chunks) <= b, (len(chunks), b)
-        padded_rows = _padded_rows(self.capacity, enc.block, enc.rows_per_block)
-        # gap-loop contract: -1 padding (see PallasTokenEncoder._resident_args)
-        batch = np.full((b, padded_rows * LANES), -1, np.int32)
+        # gap-loop contract: -1 padding, capacity-sized rows (see
+        # PallasTokenEncoder._resident_args)
+        batch = np.full((b, self.capacity), -1, np.int32)
         ns = np.zeros((b,), np.int32)
         for r, c in enumerate(chunks):
             assert c.shape[0] <= self.capacity

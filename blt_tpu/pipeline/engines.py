@@ -65,6 +65,26 @@ def _flat_d2h_mode() -> str:
     return mode
 
 
+def bucket_feed(nbytes: int) -> int:
+    """Ladder-bucketed encoder capacity for a device feed batch.
+
+    Every distinct encoder capacity is a distinct Mosaic compile (~10s
+    through a remote tunnel), so batch capacities come from a FIXED
+    ladder — pow2 to 1MB, 1MB steps to 16MB, pow2 beyond — ~20 shapes
+    total, all warmable once per machine into the persistent compile
+    cache. The ladder wastes at most one step of padding on a stream's
+    final short batch (vs r4's exact equalization, which minted a fresh
+    kernel shape for nearly every file size: the 11.7s cold start of
+    e2e_tpu_r4b).
+    """
+    mb = 1 << 20
+    if nbytes <= DEVICE_HINT_FLOOR:
+        return DEVICE_HINT_FLOOR
+    if nbytes <= mb or nbytes > 16 * mb:
+        return 1 << (nbytes - 1).bit_length()
+    return align_up(nbytes, mb)
+
+
 def device_capacity_hint(size: int, engine) -> int:
     """Capacity hint for a single in-memory payload of ``size`` bytes.
 
@@ -182,13 +202,24 @@ class JaxEngine:
             from blt_tpu.ops.bpe_pallas import PallasBasicEncoder
             from blt_tpu.pipeline.feeder import BufferPool, prefetch_iter
 
-            encoder = PallasBasicEncoder(chunk_hint)
-            pool = BufferPool(encoder.padded_bytes, 2)
+            # per-chunk LADDER-bucketed encoders: full batches share one
+            # shape; the stream's short tail gets its own bucket instead
+            # of paying the full capacity over the link (<= 2 live
+            # encoders per stream, both from the warmable shape ladder)
+            encoders: dict = {}
+
+            def enc_for(n: int):
+                cap = bucket_feed(n)
+                if cap not in encoders:
+                    e = PallasBasicEncoder(cap)
+                    encoders[cap] = (e, BufferPool(e.padded_bytes, 2))
+                return encoders[cap]
 
             def feed():
                 for chunk in chunks:
                     if chunk.shape[0] == 0:
                         continue
+                    encoder, pool = enc_for(chunk.shape[0])
                     buf = pool.get()
                     dev, n = encoder.upload(chunk, buf)
                     pool.put(buf)
@@ -250,12 +281,16 @@ class JaxEngine:
             from blt_tpu.ops.bpe_pallas import PallasFlatEncoder
 
             if PallasFlatEncoder.supports(table):
-                # Build the encoder EAGERLY so a construction failure (e.g.
-                # cuckoo placement) falls back to the XLA path before any
-                # output is emitted; a mid-stream failure must raise, never
-                # silently re-emit the stream through another path.
+                # Build the primary encoder EAGERLY so a construction
+                # failure (e.g. cuckoo placement) falls back to the XLA
+                # path before any output is emitted; a mid-stream failure
+                # must raise, never silently re-emit the stream through
+                # another path. (Placement depends only on the table, so
+                # the tail-bucket encoders built later cannot fail.)
                 try:
-                    encoder = PallasFlatEncoder(table, capacity_bytes=chunk_hint)
+                    encoder = PallasFlatEncoder(
+                        table, capacity_bytes=bucket_feed(chunk_hint)
+                    )
                 except ValueError:
                     encoder = None
                 if encoder is not None:
@@ -286,13 +321,24 @@ class JaxEngine:
 
         use_native = native.available()
         threads = self.threads
-        pool = BufferPool(encoder.padded_bytes, 2)
         jnp = self._jax.numpy
         capacity = getattr(encoder, "capacity", 0)
         mode = _flat_d2h_mode() if capacity > 0 else "slots"
-        # transfer-size buckets for the compacted prefix (each distinct
-        # slice shape compiles once; 16 buckets bound the padding to ~6%)
-        step = max(1024, align_up(capacity // 16, 1024))
+
+        # per-chunk ladder-bucketed encoders (see basic_stream): the
+        # primary encoder serves full batches, the stream's short tail
+        # gets its own bucket. Test fakes (no real capacity) are reused
+        # for every size.
+        encoders = {capacity: (encoder, BufferPool(encoder.padded_bytes, 2))}
+
+        def enc_for(n: int):
+            if capacity <= 0 or not hasattr(encoder, "with_capacity"):
+                return next(iter(encoders.values()))
+            cap = bucket_feed(n)
+            if cap not in encoders:
+                e = encoder.with_capacity(cap)
+                encoders[cap] = (e, BufferPool(e.padded_bytes, 2))
+            return encoders[cap]
 
         def feed():
             carry = False  # replaced by device scalars after the first batch
@@ -301,24 +347,26 @@ class JaxEngine:
 
             def dispatch(data: np.ndarray, next_byte: int):
                 nonlocal carry, prev_slot
+                enc, pool = enc_for(data.shape[0])
                 buf = pool.get()
-                dev, n = encoder.upload(data, buf, threads)
+                dev, n = enc.upload(data, buf, threads)
                 pool.put(buf)
+                cap = getattr(enc, "capacity", 0)
                 if mode == "packed":
                     # kernel + repack in ONE dispatch, bytes+flags in ONE
                     # combined transfer (each extra round trip costs
                     # whole-RTT latency through a remote link)
-                    wire, carry, prev_slot = encoder.encode_packed_device(
+                    wire, carry, prev_slot = enc.encode_packed_device(
                         dev, n, carry, next_byte, prev_slot
                     )
-                    return wire, n
-                slots, _, carry = encoder.encode_device(dev, n, carry, next_byte)
+                    return wire, n, cap
+                slots, _, carry = enc.encode_device(dev, n, carry, next_byte)
                 if mode == "compact":
                     comp, m, prev_slot = compact_slots_device(
-                        slots, jnp.int32(n), prev_slot, capacity=capacity
+                        slots, jnp.int32(n), prev_slot, capacity=cap
                     )
-                    return comp, m
-                return slots, n
+                    return comp, m, cap
+                return slots, n, cap
 
             for chunk in chunks:
                 if chunk.shape[0] == 0:
@@ -331,20 +379,24 @@ class JaxEngine:
 
         def d2h(items):
             if mode == "packed":
-                for wire_dev, n in items:
+                for wire_dev, n, cap in items:
                     w = np.asarray(wire_dev)
-                    yield w[:capacity], w[capacity:], n
+                    yield w[:cap], w[cap:], n
                 return
             if mode == "compact":
-                for comp_dev, m_dev in items:
+                for comp_dev, m_dev, cap in items:
                     m = int(m_dev)
                     if m == 0:
                         yield np.empty(0, np.uint16)
                         continue
-                    k = min(capacity, -(-m // step) * step)
+                    # transfer-size buckets for the compacted prefix
+                    # (each distinct slice shape compiles once; 16
+                    # buckets bound the padding to ~6%)
+                    step = max(1024, align_up(cap // 16, 1024))
+                    k = min(cap, -(-m // step) * step)
                     yield np.asarray(comp_dev[:k])[:m]
                 return
-            for slots_dev, n in items:
+            for slots_dev, n, _cap in items:
                 yield np.asarray(slots_dev).reshape(-1)[:n]
 
         def drain(items):

@@ -54,21 +54,30 @@ def _device_batch_bytes() -> int:
 
 
 def _plan_feed_size(total, chunk: int, dev: int) -> int:
-    """Equalized device batches for size-invariant modes.
+    """Device feed size for size-invariant modes: full batches + a
+    bucketed tail.
 
-    Fixed-capacity encoders move their FULL padded buffers both ways, so
-    a partial batch pays the whole capacity over the link: a 100MB file
-    in 64MB batches used to move 64+128MB for its 36MB tail (measured —
-    the entire gap to the half-duplex link bound, tools/exp_e2e.py).
-    Splitting a known-size input into ceil(total/dev) equal aligned
-    batches makes every batch full to within one kernel block, and a
-    small file becomes one exactly-sized batch.
+    Two constraints compete. (1) Fixed-capacity encoders move their FULL
+    padded buffers both ways, so a partial batch pays the whole capacity
+    over the link: a 100MB file in 64MB batches used to move 64+128MB
+    for its 36MB tail (measured — the entire gap to the half-duplex link
+    bound, tools/exp_e2e.py). (2) Every DISTINCT batch size is a
+    distinct Mosaic compile (~10s remote), so r4's exact equalization —
+    batch = ceil(total/nb) aligned to one kernel block — minted a fresh
+    kernel shape for nearly every file size (the 11.7s cold start in
+    e2e_tpu_r4b, VERDICT r4 item 2).
+
+    Resolution: feed FULL ``dev``-sized batches (one shape, shared by
+    every large run) and let the engine route the final short chunk
+    through a LADDER-bucketed tail encoder (engines.bucket_feed, ~20
+    shapes total); a small file is itself one bucketed batch. Padding is
+    then at most one ladder step on the tail (<=1MB), while the compile
+    shape space is fixed and warmable once per machine.
     """
     dev = max(dev, chunk)  # an explicit --chunksize may RAISE the batch size
-    if not total:
+    if not total or total >= dev:
         return dev
-    nb = max(1, -(-total // dev))
-    return min(dev, align_up(-(-total // nb), _BATCH_ALIGN))
+    return dev  # single short batch: the engine buckets it (bucket_feed)
 
 
 def run_tokenizer(config: CoreConfig) -> None:
@@ -153,6 +162,7 @@ def run_tokenizer(config: CoreConfig) -> None:
                 _device_batch_bytes(),
                 config.num_threads,
                 full=warm_env == "full",
+                total_size=src.size,
             )
 
         chunks = src.chunks(feed_size)

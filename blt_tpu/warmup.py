@@ -116,18 +116,27 @@ def warm_for_run(
     max_bucket: int,
     threads: int = 0,
     full: bool = False,
+    total_size: Optional[int] = None,
 ) -> Optional[int]:
-    """BLT_WARMUP entry: pre-compile the run's planned shape (it gates
-    the first batch; BLT_WARMUP=1), and with ``full`` (BLT_WARMUP=full)
-    also the standard pow2 serving buckets into the persistent cache —
-    each UNSEEN bucket is a fresh remote Mosaic compile (minutes on a
-    tunneled TPU), so the grid is opt-in for cache-seeding runs, not the
-    per-run default. Failures only log — warming must never break a
-    run."""
+    """BLT_WARMUP entry: pre-compile the run's planned shapes — the
+    main batch bucket plus the stream's tail bucket when the input size
+    is known (engines.bucket_feed ladder; BLT_WARMUP=1) — and with
+    ``full`` (BLT_WARMUP=full) also the standard pow2 serving buckets
+    into the persistent cache — each UNSEEN bucket is a fresh remote
+    Mosaic compile (minutes on a tunneled TPU), so the grid is opt-in
+    for cache-seeding runs, not the per-run default. Failures only log
+    — warming must never break a run."""
     try:
-        from blt_tpu.utils.chunking import align_up
+        from blt_tpu.pipeline.engines import bucket_feed
 
-        shapes = [align_up(feed_size)]
+        if total_size and total_size < feed_size:
+            shapes = [bucket_feed(total_size)]
+        else:
+            shapes = [bucket_feed(feed_size)]
+            if total_size:
+                tail = total_size - (total_size // feed_size) * feed_size
+                if tail:
+                    shapes.append(bucket_feed(tail))
         if full:
             shapes += pow2_buckets(max_bucket)
         return warm_shapes(mode, table, shapes, threads)

@@ -502,27 +502,103 @@ def test_flat_d2h_mode_warns_on_unknown(monkeypatch):
         logger.setLevel(old_level)
 
 
-def test_plan_feed_size_equalizes_batches():
-    """Known-size inputs split into equal aligned batches so fixed-capacity
-    encoders never move padded bytes over the link (exp_e2e finding)."""
-    from blt_tpu.pipeline.runner import _BATCH_ALIGN, _plan_feed_size
+def test_plan_feed_size_full_batches_and_ladder():
+    """r5 policy: full device-sized batches (one compile shape shared by
+    every large run) + ladder-bucketed tails in the ENGINE — the compile
+    shape space is fixed instead of minting a kernel per file size
+    (VERDICT r4 item 2), while tail padding stays <= one ladder step."""
+    from blt_tpu.pipeline.engines import bucket_feed
+    from blt_tpu.pipeline.runner import _plan_feed_size
 
     mb = 1024 * 1024
-    # small file: one exactly-sized batch (aligned up), not the 16MB default
-    assert _plan_feed_size(10 * mb, 16 * mb, 16 * mb) == 10 * mb
-    f = _plan_feed_size(10 * mb + 5, 16 * mb, 16 * mb)
-    assert f % _BATCH_ALIGN == 0 and 10 * mb < f <= 10 * mb + _BATCH_ALIGN
-    # 100MB at 16MB batches: 7 equal batches, no 64MB-capacity tail waste
-    f = _plan_feed_size(100 * mb, 16 * mb, 16 * mb)
-    assert f % _BATCH_ALIGN == 0
-    n_batches = -(-100 * mb // f)
-    assert n_batches == 7
-    assert n_batches * f - 100 * mb < n_batches * _BATCH_ALIGN
-    # huge input: batches equal the device batch size
-    assert _plan_feed_size(64 * 16 * mb, 16 * mb, 16 * mb) == 16 * mb
+    # large file: full 16MB batches regardless of exact size
+    assert _plan_feed_size(100 * mb, 16 * mb, 16 * mb) == 16 * mb
+    assert _plan_feed_size(100 * mb + 5, 16 * mb, 16 * mb) == 16 * mb
+    # small file: one batch; the ENGINE buckets the capacity
+    assert _plan_feed_size(10 * mb, 16 * mb, 16 * mb) == 16 * mb
+    # an explicit larger --chunksize raises the batch size
+    assert _plan_feed_size(100 * mb, 32 * mb, 16 * mb) == 32 * mb
     # unknown size (stdin): fall back to max(chunk, dev)
     assert _plan_feed_size(None, 4 * mb, 16 * mb) == 16 * mb
     assert _plan_feed_size(0, 32 * mb, 16 * mb) == 32 * mb
+
+    # the ladder: pow2 to 1MB, 1MB steps to 16MB, pow2 beyond
+    assert bucket_feed(1) == 64 * 1024
+    assert bucket_feed(64 * 1024) == 64 * 1024
+    assert bucket_feed(64 * 1024 + 1) == 128 * 1024
+    assert bucket_feed(900 * 1024) == mb
+    assert bucket_feed(mb + 1) == 2 * mb
+    assert bucket_feed(int(4.2 * mb)) == 5 * mb
+    assert bucket_feed(16 * mb) == 16 * mb
+    assert bucket_feed(16 * mb + 1) == 32 * mb
+    # ladder is small: every capacity <= 16MB comes from <= 20 shapes
+    caps = {bucket_feed(n) for n in range(1, 16 * mb, 37 * 1024)}
+    assert len(caps) <= 20
+
+
+def test_jax_engine_tail_bucket_encoders(monkeypatch):
+    """A stream whose final chunk is short must route it through a
+    smaller ladder-bucket encoder (not pad to the full batch capacity),
+    with the cross-batch carry chain intact across the encoder switch."""
+    from blt_tpu.merges import MergeTable as MT
+    from blt_tpu.ops import bpe_pallas
+    from blt_tpu.ops.bpe_numpy import bpe_encode_flat
+    from blt_tpu.pipeline.engines import JaxEngine
+
+    engine = JaxEngine()
+
+    class FakeJax:
+        def __getattr__(self, name):
+            import jax
+
+            return getattr(jax, name)
+
+        def default_backend(self):
+            return "tpu"
+
+    engine._jax = FakeJax()
+    built = []
+    orig_init = bpe_pallas.PallasFlatEncoder.__init__
+
+    def counting_init(self, table, interpret=False, capacity_bytes=0,
+                      rows_per_block=None, force_mode=None):
+        built.append(capacity_bytes)
+        # interpret mode: the compiled kernel cannot lower on CPU
+        orig_init(self, table, interpret=True,
+                  capacity_bytes=capacity_bytes,
+                  rows_per_block=rows_per_block, force_mode=force_mode)
+
+    monkeypatch.setattr(
+        bpe_pallas.PallasFlatEncoder, "__init__", counting_init
+    )
+    t = MT.build({(97, 98): 300, (98, 99): 301})
+    rng = np.random.default_rng(11)
+    full = 128 * 1024  # one ladder bucket exactly
+    data = rng.choice(
+        np.frombuffer(b"abcabcxy", np.uint8), 2 * full + 70 * 1024
+    ).astype(np.uint8)
+    chunks = [data[:full], data[full : 2 * full], data[2 * full :]]
+    out = b"".join(
+        bytes(x) for x in engine.bpe_stream(iter(chunks), t, full)
+    )
+    exp = np.asarray(
+        bpe_encode_flat(data, t), np.uint16
+    ).astype(">u2").tobytes()
+    assert out == exp
+    # two capacities: the full 128KB bucket and the 128KB tail bucket
+    # (70KB -> 128KB): here they collide into one bucket, so force a
+    # distinct tail: rerun with a 33KB tail -> 64KB bucket
+    built.clear()
+    data2 = data[: 2 * full + 33 * 1024]
+    chunks2 = [data2[:full], data2[full : 2 * full], data2[2 * full :]]
+    out2 = b"".join(
+        bytes(x) for x in engine.bpe_stream(iter(chunks2), t, full)
+    )
+    exp2 = np.asarray(
+        bpe_encode_flat(data2, t), np.uint16
+    ).astype(">u2").tobytes()
+    assert out2 == exp2
+    assert sorted(set(built)) == [64 * 1024, 128 * 1024]
 
 
 def test_warmup_module_and_env_hook(tmp_path, monkeypatch):

@@ -39,7 +39,7 @@ from blt_tpu.ops.bpe_pallas import (  # noqa: E402
 
 NBYTES = 8 * 1024 * 1024
 REPS = 5
-PIPE = 2
+PIPE = 6
 
 
 def log(m):
@@ -55,7 +55,10 @@ def main():
     enc = PallasTokenEncoder(table, capacity_tokens=NBYTES)
     cap = enc.capacity
     pr = _padded_rows(cap, enc.block, enc.rows_per_block)
-    buf = np.zeros((pr * LANES,), np.int32)
+    bufg = np.full((cap,), -1, np.int32)  # gap contract: -1 padding
+    bufg[: host.shape[0]] = host
+    bufg_d = jnp.asarray(bufg)
+    buf = np.zeros((pr * LANES,), np.int32)  # sort-loop layout
     buf[: host.shape[0]] = host
     buf_d = jnp.asarray(buf)
     n_d = jnp.int32(host.shape[0])
@@ -65,7 +68,7 @@ def main():
 
     def gap_call():
         return _multipass_gap_wire_call(
-            buf_d, n_d, hp, enc.k1, enc.v1, enc.k2, enc.v2, **kw)
+            bufg_d, n_d, hp, enc.k1, enc.v1, enc.k2, enc.v2, **kw)
 
     def sort_call():
         return _multipass_resident_call(
@@ -112,8 +115,7 @@ def main():
     # saw 4% on the plain pass)
     enc2 = PallasTokenEncoder(table, capacity_tokens=NBYTES,
                               rows_per_block=1024)
-    pr2 = _padded_rows(cap, enc2.block, enc2.rows_per_block)
-    buf2 = np.zeros((pr2 * LANES,), np.int32)
+    buf2 = np.full((cap,), -1, np.int32)
     buf2[: host.shape[0]] = host
     buf2_d = jnp.asarray(buf2)
     kw2 = dict(capacity=cap, interpret=False, rows_per_block=1024)
