@@ -62,6 +62,8 @@ def tokenize_bytes_wire(
 
     engine = engine or NumpyEngine()
     arr = np.frombuffer(data, dtype=np.uint8)
+    if hasattr(engine, "select"):  # PayloadAutoEngine: per-request choice
+        engine = engine.select(arr.size)
     chunks = iter([arr]) if arr.size else iter(())
     # Device engines bucket the encoder capacity to powers of two so a
     # serving process reuses one compiled kernel per bucket instead of
@@ -199,6 +201,7 @@ def make_server(
     threads: int = 0,
     engine: str = "numpy",
     warmup_bytes: int = 0,
+    device_threshold: Optional[int] = None,
 ) -> ThreadingHTTPServer:
     """Build a ready-to-serve HTTP server (port 0 = ephemeral, for tests).
 
@@ -207,6 +210,11 @@ def make_server(
     engine="jax"/"shard" serves large-batch workloads on the accelerator
     (one engine instance shared across the handler pool; engine streams
     are re-entrant per request since each request runs its own stream).
+    engine="auto" applies the CLI's AUTO policy PER REQUEST: payloads
+    below ``device_threshold`` (default engines.AUTO_DEVICE_THRESHOLD;
+    tune per deployment from the serving_r5 crossover decomposition)
+    stay on the host engine, larger ones use the accelerator when one
+    exists.
     """
     table = None
     if merges_path is not None:
@@ -219,6 +227,10 @@ def make_server(
         from blt_tpu.pipeline.engines import ShardedJaxEngine
 
         eng = ShardedJaxEngine(threads=threads)
+    elif engine == "auto":
+        from blt_tpu.pipeline.engines import PayloadAutoEngine
+
+        eng = PayloadAutoEngine(threads, device_threshold=device_threshold)
     else:
         eng = NumpyEngine(threads)
     from blt_tpu.ops.decode import build_expansion_table
@@ -251,6 +263,19 @@ def _warmup(engine, table: Optional[MergeTable], max_bytes: int) -> None:
     """
     from blt_tpu.pipeline.engines import DEVICE_HINT_FLOOR
 
+    if getattr(engine, "name", "") == "auto":
+        # warm the device side for payloads the threshold routes there
+        dev = engine.select(engine.threshold)
+        if getattr(dev, "name", "") not in ("jax", "shard"):
+            log.info("warmup: AUTO has no device engine; skipping")
+            return
+        size = DEVICE_HINT_FLOOR
+        while size <= max(max_bytes, DEVICE_HINT_FLOOR):
+            if size >= engine.threshold:
+                log.info("warmup: %d-byte bucket (auto->device)", size)
+                tokenize_bytes_wire(b"\x00" * size, table=table, engine=dev)
+            size <<= 1
+        return
     if getattr(engine, "name", "") not in ("jax", "shard"):
         log.info("warmup: host engine has no compile step; skipping")
         return
@@ -276,28 +301,37 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     p.add_argument("--threads", type=int, default=0,
                    help="Host engine worker threads (0 = auto)")
     p.add_argument("--engine", default="numpy",
-                   choices=["numpy", "jax", "shard"],
+                   choices=["numpy", "jax", "shard", "auto"],
                    help="Compute backend (numpy: latency-bound payloads; "
-                        "jax/shard: large-batch device serving)")
+                        "jax/shard: large-batch device serving; auto: "
+                        "per-request threshold policy)")
+    p.add_argument("--device-threshold", metavar="SIZE", default=None,
+                   help="With --engine auto: payloads >= SIZE (e.g. 1MB) "
+                        "use the accelerator, smaller ones the host "
+                        "engine (default 32MB)")
     p.add_argument("--warmup", metavar="SIZE", default=None,
                    help="Pre-compile device kernels for every payload "
                         "bucket up to SIZE (e.g. 16MB) before serving")
     args = p.parse_args(argv)
-    warmup_bytes = 0
-    if args.warmup is not None:
-        from blt_tpu.utils.parsing import parse_chunk_size_str
+    from blt_tpu.utils.parsing import parse_chunk_size_str
 
-        try:
+    warmup_bytes = 0
+    device_threshold = None
+    try:
+        if args.warmup is not None:
             warmup_bytes = parse_chunk_size_str(args.warmup)
-        except ValueError as e:
-            print(f"Error starting server: {e}", file=sys.stderr)
-            return 1
+        if args.device_threshold is not None:
+            device_threshold = parse_chunk_size_str(args.device_threshold)
+    except ValueError as e:
+        print(f"Error starting server: {e}", file=sys.stderr)
+        return 1
     try:
         server = make_server(
             args.host, args.port,
             Path(args.merges) if args.merges else None, args.threads,
             engine=args.engine,
             warmup_bytes=warmup_bytes,
+            device_threshold=device_threshold,
         )
     except (OSError, ValueError) as e:
         print(f"Error starting server: {e}", file=sys.stderr)

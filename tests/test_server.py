@@ -196,3 +196,64 @@ def test_server_warmup_compiles_each_bucket():
     assert calls == [
         DEVICE_HINT_FLOOR, 2 * DEVICE_HINT_FLOOR, 4 * DEVICE_HINT_FLOOR
     ]
+
+
+def test_server_engine_auto_routes_by_payload_size(monkeypatch):
+    """--engine auto applies the CLI's AUTO policy per request: payloads
+    below the threshold serve on the host engine, larger ones on the
+    device engine (VERDICT r4 item 7)."""
+    import numpy as np
+
+    from blt_tpu.pipeline import engines as eng
+    from blt_tpu.server import make_server, tokenize_bytes_wire
+
+    used = []
+
+    class FakeDevice(eng.NumpyEngine):
+        name = "fake-device"
+
+        def basic_stream(self, chunks, hint):
+            used.append(("device", hint))
+            return super().basic_stream(chunks, hint)
+
+    monkeypatch.setattr(eng, "_probe_device_engine", lambda: FakeDevice())
+
+    auto = eng.PayloadAutoEngine(device_threshold=1024)
+    assert auto.threshold == 1024
+    small = b"x" * 100
+    large = b"y" * 4096
+    out_small = tokenize_bytes_wire(small, engine=auto)
+    out_large = tokenize_bytes_wire(large, engine=auto)
+    assert out_small == np.frombuffer(small, np.uint8).astype(">u2").tobytes()
+    assert out_large == np.frombuffer(large, np.uint8).astype(">u2").tobytes()
+    # exactly the large request hit the device engine
+    assert [u[0] for u in used] == ["device"]
+    assert auto.select(100).name == "numpy"
+    assert auto.select(4096).name == "fake-device"
+
+    # end-to-end: a server built with engine="auto" serves correctly
+    srv = make_server(port=0, engine="auto")
+    try:
+        handler = srv.RequestHandlerClass
+        assert handler.engine.name == "auto"
+    finally:
+        srv.server_close()
+
+
+def test_server_auto_threshold_cli_parse():
+    """--device-threshold parses size strings and rejects bad ones."""
+    import threading
+
+    from blt_tpu.server import main
+
+    # bad size string -> startup error, exit 1
+    assert main(["--device-threshold", "12GB", "--port", "0"]) == 1
+
+
+def test_payload_auto_engine_no_device_falls_back(monkeypatch):
+    from blt_tpu.pipeline import engines as eng
+
+    monkeypatch.setattr(eng, "_probe_device_engine", lambda: None)
+    auto = eng.PayloadAutoEngine(device_threshold=10)
+    assert auto.select(1000).name == "numpy"  # probe returned nothing
+    assert auto.select(5).name == "numpy"
