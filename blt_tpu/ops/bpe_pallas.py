@@ -1200,8 +1200,8 @@ def _token_pass_gap_kernel(
     out_ref,  # (R,128) int32: token, or -1 at consumed/tombstone slots
     count_ref,  # (num_blocks, 1) int32 SMEM (unblocked): per-block alive
     #   counts of the OUTPUT, written at [program_id, 0]
-    carry_ref,  # SMEM scratch (2,) int32: [0] last-alive code (2=start,
-    #   1=other alive, 0=none yet), [1] parity state after this block
+    carry_ref,  # SMEM scratch (1,) int32: merge-start state entering
+    #   the next block (the reference loop's merge_start[i-1] bit)
 ):
     """One merge pass over a TOMBSTONED token stream (gap-tolerant).
 
@@ -1211,14 +1211,14 @@ def _token_pass_gap_kernel(
     compaction every _GAP_COMPACT_EVERY passes instead of every pass —
     the device sort was 7x the sweep cost (tools/exp_mp_ablate.py).
     Mechanics: pairs form between each alive element and its next alive
-    neighbor (a select chain over shifted copies); the leftmost-
-    non-overlapping rule is the parity of the match-run position over
-    the ALIVE subsequence, computed as a composition scan of per-element
-    affine transforms (match=flip, non-match=reset, tombstone=identity)
-    and continued across blocks by one carried bit. The input must be
-    -1-padded beyond its valid length (EOF then needs no length math:
-    the last element finds no next-alive and never starts a merge —
-    per-chunk semantics, reference tokenizer.rs:61-86).
+    neighbor (a select chain over shifted copies, the one gap-bounded
+    construct); the reference's sequential merge_start recurrence over
+    the alive subsequence becomes a composition scan of per-element
+    affine-bool transforms (match=flip, non-match=reset, tombstone=
+    identity), continued across blocks by one carried bit. The input
+    must be -1-padded beyond its valid length (EOF then needs no length
+    math: the last element finds no next-alive and never starts a merge
+    — per-chunk semantics, reference tokenizer.rs:61-86).
     """
     i = pl.program_id(0)
     a1 = params_ref[1]
@@ -1257,28 +1257,21 @@ def _token_pass_gap_kernel(
     val = jnp.where(hit1, e_v1, e_v2)
     m = (hit1 | hit2) & alive & (nxt >= 0)
 
-    # run-position parity over the alive subsequence
+    # the reference recurrence merge_start[i] = match[i] & ~merge_start
+    # [i-1] over the ALIVE subsequence, as an affine-composition scan
+    # (match = flip, non-match = reset-to-0, tombstone = identity — so
+    # the previous ALIVE element's state survives gaps of any length
+    # for free). The EXCLUSIVE state s_in at each position is exactly
+    # the previous alive element's merge-start bit, giving both outputs
+    # with no prev-alive chain: start = match & ~s_in, consumed =
+    # alive & s_in.
     v = jnp.where(alive, jnp.where(m, 3, 0), 2)
-    s = _scan_compose_linear(v, lane_iota)
-    x_in = jnp.where(i == 0, 0, carry_ref[1])
-    par = (s & 1) ^ ((s >> 1) & x_in)
-    starts = m & (par == 1)
-    starts_i = starts.astype(jnp.int32)
-
-    # consumed: nearest previous alive element (within the window, else
-    # the carried last-alive-so-far) is a start
-    vc = jnp.where(alive, jnp.where(starts, 2, 1), 0)
-    cs_in = jnp.where(i == 0, 0, carry_ref[0])
-    tq = vc
-    prevcode = None
-    for _ in range(_GAP_LOOKAHEAD):
-        tq = _shift_right_linear(tq, 0, lane_iota)
-        prevcode = (
-            tq if prevcode is None else jnp.where(prevcode == 0, tq, prevcode)
-        )
-    consumed = alive & (
-        (prevcode == 2) | ((prevcode == 0) & (cs_in == 2))
-    )
+    s_incl = _scan_compose_linear(v, lane_iota)
+    fs = _shift_right_linear(s_incl, 2, lane_iota)  # exclusive; 2 = id
+    x_in = jnp.where(i == 0, 0, carry_ref[0])
+    s_in = (fs & 1) ^ ((fs >> 1) & x_in)
+    starts = m & (s_in == 0)
+    consumed = alive & (s_in == 1)
 
     tok = jnp.where(starts, val, d)
     dead = consumed | ~alive
@@ -1286,13 +1279,12 @@ def _token_pass_gap_kernel(
     # fused alive-count (saves a full XLA reduction pass per round)
     count_ref[i, 0] = jnp.sum((~dead).astype(jnp.int32))
 
-    last_alive = jnp.max(jnp.where(alive, gidx, -1))
-    code_at_last = jnp.sum(
-        jnp.where(alive & (gidx == last_alive), jnp.where(starts, 2, 1), 0)
-    )
-    carry_ref[0] = jnp.where(last_alive >= 0, code_at_last, cs_in)
+    # carry: the merge-start state after this block's last element
+    # (trailing tombstones are identity transforms — no last-alive
+    # search needed)
     last_pos = block_start + block - 1
-    carry_ref[1] = jnp.sum(jnp.where(gidx == last_pos, par, 0))
+    x_out = (s_incl & 1) ^ ((s_incl >> 1) & x_in)
+    carry_ref[0] = jnp.sum(jnp.where(gidx == last_pos, x_out, 0))
 
 
 @functools.partial(
@@ -1351,7 +1343,7 @@ def _token_pass_gap_call(
                 ),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
-            scratch_shapes=[pltpu.SMEM((2,), jnp.int32)],
+            scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((total_rows, LANES), jnp.int32),
