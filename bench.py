@@ -714,36 +714,52 @@ def main() -> None:
                 d2h_ratio = out_ratio
                 if mode == "bpe" and _flat_d2h_mode() == "packed":
                     d2h_ratio = 1.125
+                # The GATE bound is the invariant one: each direction
+                # cannot exceed its own measured capacity, so
+                # min(h2d, d2h/r) is a true upper bound. The serial x
+                # duplex_factor composition is recorded as INFORMATION
+                # only: the concurrent duplex probe demonstrably
+                # under-measures shared capacity (r5 dress run:
+                # duplex_factor 0.46 while the pipeline beat the serial
+                # "bound" 2.3x — two probe threads in one process do
+                # not saturate the tunnel the way the pipelined run
+                # does), so it cannot gate.
                 df = roofline.get("duplex_factor", 1.0)
-                effs, bounds = [], []
+                effs, bounds, serials = [], [], []
                 for j, d in enumerate(dts):
                     h2d = max(probes[j]["h2d_bytes_per_sec"],
                               probes[j + 1]["h2d_bytes_per_sec"])
                     d2h = max(probes[j]["d2h_bytes_per_sec"],
                               probes[j + 1]["d2h_bytes_per_sec"])
                     serial = 1.0 / (1.0 / h2d + d2h_ratio / d2h)
-                    bound = min(h2d, d2h / d2h_ratio, serial * df)
+                    serials.append(serial * df)
+                    bound = min(h2d, d2h / d2h_ratio)
                     bounds.append(bound)
                     effs.append((size / d) / bound)
                 eff_stats = rate_stats(effs)
                 e2e[f"{mode}_link_bound_bytes_per_sec"] = float(
                     np.median(bounds)
                 )
+                e2e[f"{mode}_serial_duplex_model_bytes_per_sec"] = float(
+                    np.median(serials)
+                )
                 e2e[f"{mode}_d2h_ratio"] = d2h_ratio
                 e2e[f"{mode}_link_bound_model"] = (
-                    "per-rep min(h2d, d2h/r_d2h, "
-                    "duplex_factor/(1/h2d + r_d2h/d2h)), h2d/d2h = best of "
-                    "the rep's adjacent interleaved probes"
+                    "per-rep min(h2d, d2h/r_d2h), h2d/d2h = best of the "
+                    "rep's adjacent interleaved probes (invariant upper "
+                    "bound; serial-duplex model recorded separately, "
+                    "informational only)"
                 )
                 e2e[f"{mode}_efficiency_vs_link"] = eff_stats["median"]
                 e2e[f"{mode}_efficiency_vs_link_stats"] = eff_stats
                 e2e[f"{mode}_link_probes"] = probes
                 log(
                     f"e2e {mode} 100MB (jax engine): {rate/1e6:.1f} MB/s "
-                    f"= {eff_stats['median']:.0%} of the per-rep "
-                    f"duplex-corrected link bound (median bound "
-                    f"{np.median(bounds)/1e6:.1f} MB/s, "
-                    f"duplex_factor={df:.2f}); "
+                    f"= {eff_stats['median']:.0%} of the per-rep link "
+                    f"bound min(h2d, d2h/r) (median bound "
+                    f"{np.median(bounds)/1e6:.1f} MB/s; informational "
+                    f"serial-duplex model {np.median(serials)/1e6:.1f} "
+                    f"MB/s, duplex_factor={df:.2f}); "
                     f"first-run {size/dt_first/1e6:.1f} MB/s"
                 )
 
