@@ -538,6 +538,26 @@ def main() -> None:
         log(f"multipass device-resident gap loop (hierarchical, 8MB): "
             f"{mp_bps/1e6:.1f} MB/s")
 
+        # the shard_map-wrapped gap loop COMPILED on hardware (the
+        # dryrun certifies it in interpret mode only): 1-device mesh,
+        # same code path as a real multi-chip run
+        from blt_tpu.ops.bpe_pallas import ShardedTokenEncoder
+        from blt_tpu.parallel.mesh import make_mesh
+
+        mesh1 = make_mesh(jax.devices()[:1])
+        enc_sh = ShardedTokenEncoder(
+            hier_table, mesh1, capacity_tokens=1 << 20
+        )
+        chunk_sh = host[: 1 << 20]
+        got_sh = enc_sh.encode_batch_resident_wire([chunk_sh])[0]
+        exp_sh = bpe_encode_multipass(chunk_sh, hier_table)
+        oksh = (
+            got_sh.tobytes()
+            == np.asarray(exp_sh, np.uint16).astype(">u2").tobytes()
+        )
+        log(f"exact_full[multipass_sharded_gap] (1MB, shard_map): {oksh}")
+        exact_full["multipass_sharded_gap"] = oksh
+
         # control: the sort-every-pass loop (pre-r5 shape)
         bufm = np.zeros((pr * 128,), np.int32)
         bufm[: chunk.shape[0]] = chunk
