@@ -39,6 +39,22 @@ def pow2_buckets(max_bytes: int) -> list:
     return out
 
 
+def ladder_buckets(max_bytes: int) -> list:
+    """Every shape the device pipeline can dispatch up to ``max_bytes``:
+    the serving pow2 grid UNION the stream tail ladder
+    (engines.bucket_feed — pow2 to 1MB, then 1MB steps). ~20 shapes at
+    the default 16MB batch size; BLT_WARMUP=full seeds them all."""
+    from blt_tpu.pipeline.engines import bucket_feed
+
+    shapes = set(pow2_buckets(max_bytes))
+    mb = 1 << 20
+    size = mb
+    while size <= max(max_bytes, mb):
+        shapes.add(bucket_feed(size))
+        size += mb
+    return sorted(shapes)
+
+
 def warm_shapes(
     mode,
     table,
@@ -138,7 +154,7 @@ def warm_for_run(
                 if tail:
                     shapes.append(bucket_feed(tail))
         if full:
-            shapes += pow2_buckets(max_bucket)
+            shapes += ladder_buckets(max_bucket)
         return warm_shapes(mode, table, shapes, threads)
     except Exception as e:  # pragma: no cover - defensive
         log.warning("warmup failed (%s); continuing uncached", e)

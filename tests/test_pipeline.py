@@ -626,3 +626,19 @@ def test_warmup_module_and_env_hook(tmp_path, monkeypatch):
     ))
     expected = b"".join(bytes([0, c]) for c in b"hello warm")
     assert op.read_bytes() == expected
+
+
+def test_warmup_ladder_buckets_cover_dispatchable_shapes():
+    """BLT_WARMUP=full must seed every shape the pipeline can dispatch:
+    the pow2 serving grid plus the 1MB-step tail ladder."""
+    from blt_tpu.pipeline.engines import bucket_feed
+    from blt_tpu.warmup import ladder_buckets
+
+    mb = 1 << 20
+    shapes = ladder_buckets(16 * mb)
+    # every tail bucket for any size <= 16MB is in the warm set
+    for n in (1, 100 * 1024, 700 * 1024, mb + 1, int(4.7 * mb), 16 * mb):
+        assert bucket_feed(n) in shapes, n
+    # pow2 serving buckets included
+    assert 64 * 1024 in shapes and 8 * mb in shapes
+    assert len(shapes) <= 24
