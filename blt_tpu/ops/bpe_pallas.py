@@ -1153,13 +1153,14 @@ def _mp_compact_mode() -> str:
 def _compose_affine(later, earlier):
     """Compose packed affine-bool transforms ``x -> a ^ (b & x)``.
 
-    Packed as ``a | (b << 1)`` (identity = 2, reset-to-0 = 0, flip = 3).
-    Returns ``later ∘ earlier`` (earlier applies first) — the segmented
-    parity recurrence of the merge scan as an associative operator.
+    Packed as ``a | (b << 1)`` (identity = 2, reset-to-0 = 0, flip = 3,
+    const-1 = 1). Returns ``later ∘ earlier`` (earlier applies first) —
+    the merge-start recurrence of the scan as an associative operator.
+    Bit algebra relies on operands staying in [0,3]:
+    a' = aL ^ (bL & aE) = bit0 of L ^ ((L>>1) & E);
+    b' << 1 = (bL & bE) << 1 = L & E & 2.  (6 vector ops.)
     """
-    a = (later & 1) ^ (((later >> 1) & 1) & (earlier & 1))
-    b = ((later >> 1) & (earlier >> 1)) & 1
-    return a | (b << 1)
+    return ((later ^ ((later >> 1) & earlier)) & 1) | (later & earlier & 2)
 
 
 def _scan_compose_linear(v, lane_iota):
