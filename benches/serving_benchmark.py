@@ -114,8 +114,6 @@ def decompose_device_serving(merges_path: str, corpus: np.ndarray,
     LOCAL_BW = 8e9
     LOCAL_DISPATCH_MS = 0.2
     for size in SIZES:
-        from blt_tpu.pipeline.engines import device_capacity_hint
-
         cap = max(1 << 16, 1 << (size - 1).bit_length())
         enc = PallasFlatEncoder(table, capacity_bytes=cap)
         buf = np.zeros(enc.padded_bytes, np.uint8)
@@ -142,15 +140,23 @@ def decompose_device_serving(merges_path: str, corpus: np.ndarray,
             )
         np.asarray(carry)
         kernel_ms = (time.perf_counter() - t0) / k * 1e3
-        # D2H: the combined wire transfer (capacity + flags)
-        t0 = time.perf_counter()
+        # D2H: the combined wire transfer (capacity + flags). Pre-issue
+        # three distinct wires (defeats host-copy caching), force them,
+        # then time PURE transfers — subtracting a separately measured
+        # kernel time from a mixed loop let tunnel jitter clamp the
+        # estimate toward 0.
+        wires = []
         for _ in range(3):
-            np.asarray(wire)
-            wire, carry, last = enc.encode_packed_device(
+            w, carry, last = enc.encode_packed_device(
                 dev, size, False, -1, jnp.int32(0)
             )
-        d2h_ms = (time.perf_counter() - t0) / 3 * 1e3 - kernel_ms
-        wire_bytes = int(np.asarray(wire).nbytes)
+            wires.append(w)
+        np.asarray(carry)  # all three queued kernels complete
+        t0 = time.perf_counter()
+        for w in wires:
+            np.asarray(w)
+        d2h_ms = (time.perf_counter() - t0) / 3 * 1e3
+        wire_bytes = int(np.asarray(wires[0]).nbytes)
         tunnel_pred = dispatch_ms + h2d_ms + kernel_ms + max(d2h_ms, 0)
         local_pred = (
             LOCAL_DISPATCH_MS

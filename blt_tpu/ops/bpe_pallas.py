@@ -1790,6 +1790,8 @@ class ShardedTokenEncoder:
         interpret = enc.interpret
         capacity = self.capacity
 
+        sort_mode = _mp_compact_mode() == "sort"
+
         def per_shard(ns, bufs, hp, k1, v1, k2, v2):
             # local shapes: ns (1,), bufs (1, total); each device runs its
             # own repeat-until-done loop (no collectives inside, so
@@ -1797,10 +1799,25 @@ class ShardedTokenEncoder:
             # the device as the gap wire: byteswapped u16 image + packed
             # alive-flag plane (tombstones dropped host-side; the device
             # sort costs 7x the sweep, tools/exp_mp_ablate.py).
-            wire, m = _multipass_gap_wire_call(
-                bufs[0], ns[0], hp, k1, v1, k2, v2,
-                capacity=capacity, interpret=interpret, rows_per_block=rpb,
-            )
+            # BLT_MP_COMPACT=sort is honored here too (the escape hatch
+            # must also bypass the gap kernel on multi-chip runs): the
+            # sort loop's compacted prefix converts to the same wire by
+            # tombstoning everything beyond its count.
+            if sort_mode:
+                iota = jnp.arange(capacity, dtype=jnp.int32)
+                toks, m = _multipass_resident_call(
+                    bufs[0], ns[0], hp, k1, v1, k2, v2,
+                    capacity=capacity, interpret=interpret,
+                    rows_per_block=rpb,
+                )
+                toks = jnp.where(iota < m, toks, -1)
+                wire = _gap_tokens_to_wire(toks, capacity)
+            else:
+                wire, m = _multipass_gap_wire_call(
+                    bufs[0], ns[0], hp, k1, v1, k2, v2,
+                    capacity=capacity, interpret=interpret,
+                    rows_per_block=rpb,
+                )
             return wire[None], m[None]
 
         row = P(DATA_AXIS)
@@ -1818,9 +1835,18 @@ class ShardedTokenEncoder:
         enc = self._single
         b = self.n_rows
         assert len(chunks) <= b, (len(chunks), b)
-        # gap-loop contract: -1 padding, capacity-sized rows (see
-        # PallasTokenEncoder._resident_args)
-        batch = np.full((b, self.capacity), -1, np.int32)
+        # buffer layout follows the compaction mode (read once at the
+        # first call; flipping BLT_MP_COMPACT mid-process would not
+        # rebuild the cached shard_map program): gap-loop contract is
+        # -1 padding, capacity-sized rows; the sort loop keeps the
+        # halo-row layout with zeros (PallasTokenEncoder._resident_args)
+        if _mp_compact_mode() == "sort":
+            padded_rows = _padded_rows(
+                self.capacity, enc.block, enc.rows_per_block
+            )
+            batch = np.zeros((b, padded_rows * LANES), np.int32)
+        else:
+            batch = np.full((b, self.capacity), -1, np.int32)
         ns = np.zeros((b,), np.int32)
         for r, c in enumerate(chunks):
             assert c.shape[0] <= self.capacity

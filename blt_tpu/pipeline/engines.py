@@ -80,9 +80,31 @@ def bucket_feed(nbytes: int) -> int:
     mb = 1 << 20
     if nbytes <= DEVICE_HINT_FLOOR:
         return DEVICE_HINT_FLOOR
-    if nbytes <= mb or nbytes > 16 * mb:
+    if nbytes <= mb:
         return 1 << (nbytes - 1).bit_length()
-    return align_up(nbytes, mb)
+    if nbytes <= 16 * mb:
+        return align_up(nbytes, mb)
+    # custom batch sizes above 16MB (BLT_DEVICE_BATCH_BYTES / a large
+    # --chunksize): 2MB steps, NOT pow2 — rounding a 17MB batch to 32MB
+    # would make every full batch pay ~2x capacity over the link
+    return align_up(nbytes, 2 * mb)
+
+
+_MAX_STREAM_BUCKETS = 3
+
+
+def _stream_bucket(n: int, encoders: dict) -> int:
+    """Bucket for one stream chunk, bounded to _MAX_STREAM_BUCKETS live
+    encoder shapes: beyond the cap, odd chunk sizes (pipes can read
+    short anywhere, io/sources.py) pad into the smallest existing
+    bucket that fits (or the largest one outright) instead of minting
+    another mid-stream Mosaic compile."""
+    cap = bucket_feed(n)
+    if cap in encoders or len(encoders) < _MAX_STREAM_BUCKETS:
+        return cap
+    fitting = [c for c in encoders if c >= n]
+    # nothing large enough: a fresh shape is unavoidable (must hold n)
+    return min(fitting) if fitting else cap
 
 
 def device_capacity_hint(size: int, engine) -> int:
@@ -204,12 +226,14 @@ class JaxEngine:
 
             # per-chunk LADDER-bucketed encoders: full batches share one
             # shape; the stream's short tail gets its own bucket instead
-            # of paying the full capacity over the link (<= 2 live
-            # encoders per stream, both from the warmable shape ladder)
+            # of paying the full capacity over the link. File sources
+            # touch <= 2 buckets (full + tail); pipe sources can read
+            # short ANYWHERE, so cap the live encoders (each is a
+            # Mosaic compile) and pad odd sizes into an existing bucket
             encoders: dict = {}
 
             def enc_for(n: int):
-                cap = bucket_feed(n)
+                cap = _stream_bucket(n, encoders)
                 if cap not in encoders:
                     e = PallasBasicEncoder(cap)
                     encoders[cap] = (e, BufferPool(e.padded_bytes, 2))
@@ -228,7 +252,16 @@ class JaxEngine:
             def drain(items):
                 for out, n in items:
                     host = np.asarray(out).reshape(-1)
-                    yield host[:n]  # u16 view; LE image == BE wire
+                    # u16 view; LE image == BE wire. Copy only when the
+                    # valid slice is a small part of the bucketed
+                    # transfer buffer: a view would pin the whole buffer
+                    # in holders that account by nbytes (the multihost
+                    # _Spool memcap contract), while copying every full
+                    # batch would waste host bandwidth.
+                    if 2 * n < host.nbytes:
+                        yield host[:n].copy()
+                    else:
+                        yield host[:n]
 
             yield from prefetch_iter(
                 drain(prefetch_iter(feed(), self.depth, "feed")),
@@ -334,7 +367,7 @@ class JaxEngine:
         def enc_for(n: int):
             if capacity <= 0 or not hasattr(encoder, "with_capacity"):
                 return next(iter(encoders.values()))
-            cap = bucket_feed(n)
+            cap = _stream_bucket(n, encoders)
             if cap not in encoders:
                 e = encoder.with_capacity(cap)
                 encoders[cap] = (e, BufferPool(e.padded_bytes, 2))
@@ -679,8 +712,13 @@ class ShardedJaxEngine(JaxEngine):
                 # rows are filled front-to-back, so the valid tokens form a
                 # CONTIGUOUS prefix of the flattened (b, row_bytes) u16
                 # batch: one transfer, one slice, zero per-row joins (u16
-                # LE image == u16-BE wire)
-                yield np.asarray(out).reshape(-1)[:n]
+                # LE image == u16-BE wire). Copy short tails so a view
+                # does not pin the whole batch buffer (spool accounting).
+                host = np.asarray(out).reshape(-1)
+                if 2 * n < host.nbytes:
+                    yield host[:n].copy()
+                else:
+                    yield host[:n]
 
         yield from prefetch_iter(
             drain(prefetch_iter(feed(), self.depth, "feed")),
@@ -1148,7 +1186,12 @@ class AutoStreamEngine:
     engine consumes a byte before selection, semantics are identical either
     way. The peek buffer honors the run's --memcap budget: the threshold is
     ``min(AUTO_DEVICE_THRESHOLD, mem_budget)``, so a small memory cap never
-    gets blown by the selection peek itself.
+    gets blown by the selection peek itself. Deliberate consequence: when
+    the budget is below the 32MB dispatch-latency threshold, reaching the
+    budget commits to the accelerator — the stream is at least as large
+    as we were allowed to look at, and the failure mode of keeping a
+    many-GB pipe on the host engine outweighs a possibly-early device
+    pick for a stream in the budget..32MB range.
     """
 
     name = "auto"
@@ -1213,6 +1256,8 @@ class PayloadAutoEngine:
     def __init__(
         self, threads: int = 0, device_threshold: Optional[int] = None
     ):
+        import threading
+
         self.threads = threads
         self.threshold = (
             device_threshold
@@ -1222,17 +1267,25 @@ class PayloadAutoEngine:
         self._host = NumpyEngine(threads)
         self._device = None
         self._probed = False
+        # serialize the first probe: under ThreadingHTTPServer, two
+        # concurrent large requests must not double-probe (duplicate
+        # device init) or race check-then-act into silently serving a
+        # large payload on the host engine
+        self._probe_lock = threading.Lock()
 
     def select(self, size: int):
         if size >= self.threshold:
             if not self._probed:
-                self._probed = True
-                self._device = _probe_device_engine()
-                if self._device is not None:
-                    log.info(
-                        "payload AUTO: %s engine for payloads >= %d bytes",
-                        self._device.name, self.threshold,
-                    )
+                with self._probe_lock:
+                    if not self._probed:
+                        self._device = _probe_device_engine()
+                        self._probed = True
+                        if self._device is not None:
+                            log.info(
+                                "payload AUTO: %s engine for payloads "
+                                ">= %d bytes",
+                                self._device.name, self.threshold,
+                            )
             if self._device is not None:
                 return self._device
         return self._host

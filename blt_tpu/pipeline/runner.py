@@ -74,10 +74,10 @@ def _plan_feed_size(total, chunk: int, dev: int) -> int:
     then at most one ladder step on the tail (<=1MB), while the compile
     shape space is fixed and warmable once per machine.
     """
-    dev = max(dev, chunk)  # an explicit --chunksize may RAISE the batch size
-    if not total or total >= dev:
-        return dev
-    return dev  # single short batch: the engine buckets it (bucket_feed)
+    # an explicit --chunksize may RAISE the batch size; ``total`` no
+    # longer shapes the feed — the ENGINE buckets every chunk (a small
+    # file is one bucketed batch, a large file's tail its own bucket)
+    return max(dev, chunk)
 
 
 def run_tokenizer(config: CoreConfig) -> None:

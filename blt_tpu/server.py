@@ -264,6 +264,15 @@ def _warmup(engine, table: Optional[MergeTable], max_bytes: int) -> None:
     from blt_tpu.pipeline.engines import DEVICE_HINT_FLOOR
 
     if getattr(engine, "name", "") == "auto":
+        if engine.threshold > max(max_bytes, DEVICE_HINT_FLOOR):
+            # nothing to warm (and no point probing the device): every
+            # bucket up to --warmup SIZE routes to the host engine
+            log.warning(
+                "warmup: --warmup %d is below the AUTO device threshold "
+                "%d — no device buckets to pre-compile (raise --warmup "
+                "or lower --device-threshold)", max_bytes, engine.threshold,
+            )
+            return
         # warm the device side for payloads the threshold routes there
         dev = engine.select(engine.threshold)
         if getattr(dev, "name", "") not in ("jax", "shard"):

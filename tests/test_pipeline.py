@@ -530,7 +530,11 @@ def test_plan_feed_size_full_batches_and_ladder():
     assert bucket_feed(mb + 1) == 2 * mb
     assert bucket_feed(int(4.2 * mb)) == 5 * mb
     assert bucket_feed(16 * mb) == 16 * mb
-    assert bucket_feed(16 * mb + 1) == 32 * mb
+    # above 16MB (custom batch sizes): 2MB steps, not pow2 — a 17MB
+    # batch must not pay a 32MB capacity on every full batch
+    assert bucket_feed(16 * mb + 1) == 18 * mb
+    assert bucket_feed(17 * mb) == 18 * mb
+    assert bucket_feed(64 * mb) == 64 * mb
     # ladder is small: every capacity <= 16MB comes from <= 20 shapes
     caps = {bucket_feed(n) for n in range(1, 16 * mb, 37 * 1024)}
     assert len(caps) <= 20
@@ -642,3 +646,67 @@ def test_warmup_ladder_buckets_cover_dispatchable_shapes():
     # pow2 serving buckets included
     assert 64 * 1024 in shapes and 8 * mb in shapes
     assert len(shapes) <= 24
+
+
+def test_stream_bucket_cap_bounds_mid_stream_compiles():
+    """Pipe sources can read short anywhere; beyond _MAX_STREAM_BUCKETS
+    distinct shapes, odd chunk sizes pad into an existing bucket instead
+    of minting another mid-stream kernel compile."""
+    from blt_tpu.pipeline.engines import (
+        _MAX_STREAM_BUCKETS,
+        _stream_bucket,
+        bucket_feed,
+    )
+
+    encoders = {}
+    sizes = [3 << 20, 7 << 20, 12 << 20, 5 << 20, 9 << 20, 1 << 20]
+    minted = []
+    for n in sizes:
+        cap = _stream_bucket(n, encoders)
+        assert cap >= n  # must always hold the chunk
+        if cap not in encoders:
+            encoders[cap] = object()
+            minted.append(cap)
+    assert len(minted) == _MAX_STREAM_BUCKETS
+    # under the cap, exact ladder buckets are used
+    assert minted[:3] == [bucket_feed(s) for s in sizes[:3]]
+    # a chunk larger than every existing bucket still gets a new shape
+    # (correctness over compile avoidance)
+    cap = _stream_bucket(15 << 20, encoders)
+    assert cap == bucket_feed(15 << 20)
+
+
+def test_payload_auto_engine_probe_is_single_flight(monkeypatch):
+    """Concurrent first large requests must probe the device engine
+    exactly once, and the loser of the race must still get the probed
+    engine (no silent host fallback)."""
+    import threading
+
+    from blt_tpu.pipeline import engines as eng
+
+    probes = {"n": 0}
+    gate = threading.Event()
+
+    class FakeDevice(eng.NumpyEngine):
+        name = "fake-device"
+
+    def slow_probe():
+        gate.wait(5)
+        probes["n"] += 1
+        return FakeDevice()
+
+    monkeypatch.setattr(eng, "_probe_device_engine", slow_probe)
+    auto = eng.PayloadAutoEngine(device_threshold=100)
+    results = []
+
+    def worker():
+        results.append(auto.select(1000).name)
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    gate.set()
+    for t in threads:
+        t.join()
+    assert probes["n"] == 1
+    assert results == ["fake-device"] * 4

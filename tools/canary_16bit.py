@@ -19,9 +19,10 @@ is the JSON); a hung compile is the caller's timeout to enforce.
 from __future__ import annotations
 
 import json
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 LANES = 128
 R = 8
